@@ -1,0 +1,178 @@
+"""Evaluation layer: dtype casting, counters, validation.
+
+Counterpart of the reference ``Evaluator`` stack (``pygradflow/eval.py``).
+Because evaluations run inside jit, per-component counters are a small int32
+pytree carried through the solver loop state instead of Python-side mutable
+dicts, and validation cannot raise mid-loop: non-finite evaluations surface
+as rejected steps (mirroring the reference's EvalError -> reject-with-
+doubled-lambda recovery, ``pygradflow/step/step_control.py:79-107``), while
+shape validation and initial-point finiteness checks run eagerly at setup.
+"""
+
+from enum import Enum, auto
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Params
+from .problem import Problem
+
+
+class EvalError(ValueError):
+    def __init__(self, msg, x=None):
+        self.x = x
+        super().__init__(msg)
+
+
+class Component(Enum):
+    Obj = auto()
+    ObjGrad = auto()
+    Cons = auto()
+    ConsJac = auto()
+    LagHess = auto()
+
+    def name(self):
+        return {
+            Component.Obj: "Objective",
+            Component.ObjGrad: "Objective Gradient",
+            Component.Cons: "Constraints",
+            Component.ConsJac: "Constraint Jacobian",
+            Component.LagHess: "Lagrangian Hessian",
+        }[self]
+
+
+class Counters(NamedTuple):
+    """Per-component evaluation counters (reference ``eval.py:60-85``)."""
+
+    obj: Any
+    obj_grad: Any
+    cons: Any
+    cons_jac: Any
+    lag_hess: Any
+
+    @staticmethod
+    def zero():
+        z = jnp.zeros((), dtype=jnp.int32)
+        return Counters(z, z, z, z, z)
+
+    def add(self, *, obj=0, obj_grad=0, cons=0, cons_jac=0, lag_hess=0):
+        return Counters(
+            self.obj + obj,
+            self.obj_grad + obj_grad,
+            self.cons + cons,
+            self.cons_jac + cons_jac,
+            self.lag_hess + lag_hess,
+        )
+
+    def as_dict(self):
+        return {
+            Component.Obj: int(self.obj),
+            Component.ObjGrad: int(self.obj_grad),
+            Component.Cons: int(self.cons),
+            Component.ConsJac: int(self.cons_jac),
+            Component.LagHess: int(self.lag_hess),
+        }
+
+
+class Fns(NamedTuple):
+    """dtype-cast JAX evaluation closures for a (transformed) problem."""
+
+    obj: Callable
+    obj_grad: Callable
+    cons: Callable
+    cons_jac: Callable
+    lag_hess: Callable
+    num_vars: int
+    num_cons: int
+
+
+def make_fns(problem: Problem, params: Params) -> Fns:
+    """Build jitted evaluation closures.
+
+    Each closure is wrapped in ``jax.jit``: inside the solver loop jit
+    inlines them for free, while *eager* callers (tests, finite-difference
+    checks, the derivative checker) get cached compilations instead of a
+    fresh ``jax.grad`` re-trace per call.
+    """
+    dtype = params.dtype
+    n = problem.num_vars
+    m = problem.num_cons
+
+    @jax.jit
+    def obj(x):
+        return jnp.asarray(problem.obj(x), dtype=dtype)
+
+    @jax.jit
+    def obj_grad(x):
+        return jnp.asarray(problem.obj_grad(x), dtype=dtype)
+
+    if m > 0:
+
+        @jax.jit
+        def cons(x):
+            return jnp.asarray(problem.cons(x), dtype=dtype)
+
+        @jax.jit
+        def cons_jac(x):
+            return jnp.asarray(problem.cons_jac(x), dtype=dtype)
+
+    else:
+
+        @jax.jit
+        def cons(x):
+            return jnp.zeros((0,), dtype=dtype)
+
+        @jax.jit
+        def cons_jac(x):
+            return jnp.zeros((0, n), dtype=dtype)
+
+    @jax.jit
+    def lag_hess(x, y):
+        return jnp.asarray(problem.lag_hess(x, y), dtype=dtype)
+
+    return Fns(obj, obj_grad, cons, cons_jac, lag_hess, n, m)
+
+
+def validate_fns(fns: Fns, x0, y0) -> None:
+    """Eager validation of shapes and finiteness at the initial point.
+
+    Raises :class:`EvalError` like the reference ValidatingEvaluator
+    (``eval.py:130-211``) / Solver init check (``solver.py:267-270``).
+    """
+    n, m = fns.num_vars, fns.num_cons
+
+    obj = fns.obj(x0)
+    if not np.isfinite(np.asarray(obj)):
+        raise EvalError("Infinite objective", x0)
+
+    grad = np.asarray(fns.obj_grad(x0))
+    if grad.shape != (n,):
+        raise EvalError("Invalid shape of gradient", x0)
+    if not np.isfinite(grad).all():
+        raise EvalError("Non-finite gradient", x0)
+
+    if m > 0:
+        cons = np.asarray(fns.cons(x0))
+        if cons.shape != (m,):
+            raise EvalError("Invalid shape of constraints", x0)
+        if not np.isfinite(cons).all():
+            raise EvalError("Non-finite constraints", x0)
+
+        jac = np.asarray(fns.cons_jac(x0))
+        if jac.shape != (m, n):
+            raise EvalError("Invalid shape of Jacobian", x0)
+        if not np.isfinite(jac).all():
+            raise EvalError("Non-finite Jacobian", x0)
+
+    hess = np.asarray(fns.lag_hess(x0, y0))
+    if hess.shape != (n, n):
+        raise EvalError("Invalid shape of Hessian", x0)
+    if not np.isfinite(hess).all():
+        raise EvalError("Non-finite Hessian", x0)
+
+    if not np.allclose(hess, hess.T):
+        from .log import logger
+
+        logger.warning("Hessian not numerically symmetric")

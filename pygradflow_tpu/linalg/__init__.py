@@ -1,0 +1,176 @@
+"""Linear-solver backends for the KKT systems.
+
+TPU-native replacements for the reference's native-library zoo
+(``pygradflow/linear_solver/``: SuperLU, CHOLMOD, MA57, MUMPS, SSIDS,
+MINRES, GMRES).  Every backend here is a pure-JAX (or Pallas) dense solver
+with the same three-operation interface: factorize, (transpose-)solve, and
+inertia query (``num_neg_eigvals``, reference
+``linear_solver/linear_solver.py:18-31``).
+
+Error handling differs by necessity: native factorizations raise
+``LinearSolverError`` on breakdown; under jit a singular factorization
+produces non-finite values in the solution instead, which the step layer
+detects and converts into a rejected step (the same recovery ladder as the
+reference's ``StepSolverError`` path).
+"""
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..params import LinearSolverType
+
+
+class LinearSolverError(Exception):
+    """Raised eagerly for unsupported configurations (not inside jit)."""
+
+
+class LinearSolver(NamedTuple):
+    """Bundle of factor/solve closures for one backend (static dispatch)."""
+
+    factor: Callable[[Any], Any]
+    solve: Callable[..., Any]  # (fact, rhs, initial_sol=None) -> sol
+    solve_trans: Callable[[Any, Any], Any]
+    num_neg_eigvals: Optional[Callable[[Any], Any]]
+    name: str
+
+
+# ----------------------------------------------------------------------
+# Dense LU (maps reference LUSolver / SuperLU, lu_solver.py).
+# Custom pure-JAX partial-pivot LU: XLA's builtin LuDecomposition op only
+# supports f32 on TPU, the homotopy math needs f64.
+# ----------------------------------------------------------------------
+
+from .plu import plu_factor, plu_solve, plu_solve_trans  # noqa: E402
+
+
+def _lu() -> LinearSolver:
+    def factor(mat):
+        return plu_factor(mat)
+
+    def solve(fact, rhs, initial_sol=None):
+        return plu_solve(fact, rhs)
+
+    def solve_trans(fact, rhs):
+        return plu_solve_trans(fact, rhs)
+
+    return LinearSolver(factor, solve, solve_trans, None, "lu")
+
+
+# ----------------------------------------------------------------------
+# Dense Cholesky (maps CHOLMOD, cholesky_solver.py; posdef only — a
+# non-posdef matrix yields NaNs -> rejected step)
+# ----------------------------------------------------------------------
+
+
+def _cholesky() -> LinearSolver:
+    def factor(mat):
+        return jsl.cho_factor(mat)
+
+    def solve(fact, rhs, initial_sol=None):
+        return jsl.cho_solve(fact, rhs)
+
+    def num_neg(fact):
+        return jnp.zeros((), dtype=jnp.int32)
+
+    return LinearSolver(factor, solve, solve, num_neg, "cholesky")
+
+
+# ----------------------------------------------------------------------
+# Dense LDL^T with inertia (maps MA57/MUMPS/SSIDS indefinite solvers).
+# ----------------------------------------------------------------------
+
+from .ldlt import ldlt_factor, ldlt_num_neg_eigvals, ldlt_solve  # noqa: E402
+
+
+def _ldlt() -> LinearSolver:
+    def factor(mat):
+        return ldlt_factor(mat)
+
+    def solve(fact, rhs, initial_sol=None):
+        return ldlt_solve(fact, rhs)
+
+    return LinearSolver(factor, solve, solve, ldlt_num_neg_eigvals, "ldlt")
+
+
+def _pallas_ldlt() -> LinearSolver:
+    from .pallas_ldlt import pallas_ldlt_factor
+
+    def factor(mat):
+        return pallas_ldlt_factor(mat)
+
+    def solve(fact, rhs, initial_sol=None):
+        return ldlt_solve(fact, rhs)
+
+    return LinearSolver(factor, solve, solve, ldlt_num_neg_eigvals, "pallas_ldlt")
+
+
+# ----------------------------------------------------------------------
+# Iterative solvers (map minres_solver.py / gmres_solver.py)
+# ----------------------------------------------------------------------
+
+from .minres import minres  # noqa: E402
+
+
+def _minres() -> LinearSolver:
+    def factor(mat):
+        return mat
+
+    def solve(mat, rhs, initial_sol=None):
+        return minres(mat, rhs, x0=initial_sol)
+
+    return LinearSolver(factor, solve, solve, None, "minres")
+
+
+def _gmres() -> LinearSolver:
+    import jax.scipy.sparse.linalg as spla
+
+    def factor(mat):
+        return mat
+
+    def solve(mat, rhs, initial_sol=None):
+        sol, _ = spla.gmres(
+            lambda v: mat @ v,
+            rhs,
+            x0=initial_sol,
+            tol=1e-12,
+            atol=1e-12,
+            solve_method="batched",
+        )
+        return sol
+
+    def solve_trans(mat, rhs):
+        sol, _ = spla.gmres(
+            lambda v: mat.T @ v,
+            rhs,
+            tol=1e-12,
+            atol=1e-12,
+            solve_method="batched",
+        )
+        return sol
+
+    return LinearSolver(factor, solve, solve_trans, None, "gmres")
+
+
+def linear_solver(
+    solver_type: LinearSolverType, symmetric: bool = False
+) -> LinearSolver:
+    """Factory keyed on ``LinearSolverType``
+    (reference ``linear_solver/__init__.py:8-39``)."""
+    if solver_type == LinearSolverType.LU:
+        return _lu()
+    elif solver_type == LinearSolverType.Cholesky:
+        return _cholesky()
+    elif solver_type == LinearSolverType.LDLT:
+        return _ldlt()
+    elif solver_type == LinearSolverType.PallasLDLT:
+        return _pallas_ldlt()
+    elif solver_type == LinearSolverType.MINRES:
+        if not symmetric:
+            raise LinearSolverError("MINRES requires a symmetric matrix")
+        return _minres()
+    elif solver_type == LinearSolverType.GMRES:
+        return _gmres()
+
+    raise LinearSolverError(f"Unknown linear solver type {solver_type}")

@@ -1,0 +1,229 @@
+"""Semismooth Newton methods for the implicit-Euler subproblem.
+
+Counterparts of the reference's four Newton variants
+(``pygradflow/newton.py``), expressed as pairs of pure functions::
+
+    init(orig_iterate, lamb, rho, tau, counters) -> (carry, counters)
+    step(carry, cur_iterate, counters) -> (StepResult, carry, counters)
+
+``carry`` holds whatever the variant freezes (factorization, derivatives),
+making the trade-offs explicit in data: Simplified factors once in ``init``
+and only back-solves in ``step``; Full refactors every ``step``; ActiveSet
+keeps derivatives frozen but reassembles when the active set moves (on TPU
+reassembly is cheap dense masking, so it simply refactors each step —
+detecting "no change" would cost a sync); Globalized adds an Armijo line
+search on the residual merit under ``lax.while_loop``.
+
+Evaluation counters are threaded through explicitly (the reference counts
+via its Evaluator, ``eval.py:60-85``).
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import implicit_func as impl
+from .eval import Counters, Fns
+from .iterate import (
+    Iterate,
+    aug_lag_deriv_xx,
+    evaluate_iterate,
+    iterate_eval_counts,
+)
+from .params import NewtonType, Params
+from .step.solvers import StepResult, StepSolverDef, make_step_result
+
+
+class NewtonCfg(NamedTuple):
+    fns: Fns
+    params: Params
+    lb: Any
+    ub: Any
+    ssdef: StepSolverDef
+
+
+def _eval_hess(cfg: NewtonCfg, it: Iterate, rho, counters):
+    """Hessian for the step matrix: the Standard solver uses the full
+    augmented Hessian at the runtime rho, the scaled solvers the plain
+    Lagrangian Hessian (reference ``scaled_step_solver.py:76-79``)."""
+    h_rho = rho if cfg.ssdef.hess_rho_is_runtime else 0.0
+    H = aug_lag_deriv_xx(cfg.fns, it, h_rho)
+    return H, counters.add(lag_hess=1)
+
+
+def _make_func(cfg: NewtonCfg, orig: Iterate, lamb) -> impl.StepFunc:
+    return impl.make_step_func(orig, lamb, cfg.lb, cfg.ub, scaled=cfg.ssdef.scaled)
+
+
+def _result(cfg: NewtonCfg, it: Iterate, dx, dy, active) -> StepResult:
+    return make_step_result(it, dx, dy, cfg.lb, cfg.ub, active)
+
+
+# ----------------------------------------------------------------------
+# Simplified Newton (default): derivative + active set frozen at origin
+# (reference newton.py:35-60)
+# ----------------------------------------------------------------------
+
+
+def _simplified(cfg: NewtonCfg):
+    def init(orig: Iterate, lamb, rho, tau, counters: Counters):
+        func = _make_func(cfg, orig, lamb)
+        active = impl.compute_active_set(func, orig, rho, tau)
+        H, counters = _eval_hess(cfg, orig, rho, counters)
+        J = orig.cons_jac
+        fact = cfg.ssdef.factor(func, H, J, active, rho)
+        return (func, fact, rho), counters
+
+    def step(carry, cur: Iterate, counters: Counters):
+        func, fact, rho = carry
+        dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
+        return _result(cfg, cur, dx, dy, fact.active), carry, counters
+
+    return init, step
+
+
+# ----------------------------------------------------------------------
+# Full Newton: re-evaluate + refactor each inner iteration
+# (reference newton.py:63-89)
+# ----------------------------------------------------------------------
+
+
+def _full(cfg: NewtonCfg):
+    def init(orig: Iterate, lamb, rho, tau, counters: Counters):
+        func = _make_func(cfg, orig, lamb)
+        return (func, rho, tau), counters
+
+    def step(carry, cur: Iterate, counters: Counters):
+        func, rho, tau = carry
+        active = impl.compute_active_set(func, cur, rho, tau)
+        H, counters = _eval_hess(cfg, cur, rho, counters)
+        fact = cfg.ssdef.factor(func, H, cur.cons_jac, active, rho)
+        dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
+        return _result(cfg, cur, dx, dy, active), carry, counters
+
+    return init, step
+
+
+# ----------------------------------------------------------------------
+# ActiveSet Newton: derivatives frozen at origin, active set tracks the
+# current iterate (reference newton.py:181-215)
+# ----------------------------------------------------------------------
+
+
+def _active_set(cfg: NewtonCfg):
+    def init(orig: Iterate, lamb, rho, tau, counters: Counters):
+        func = _make_func(cfg, orig, lamb)
+        H, counters = _eval_hess(cfg, orig, rho, counters)
+        return (func, H, orig.cons_jac, rho, tau), counters
+
+    def step(carry, cur: Iterate, counters: Counters):
+        func, H, J, rho, tau = carry
+        active = impl.compute_active_set(func, cur, rho, tau)
+        fact = cfg.ssdef.factor(func, H, J, active, rho)
+        dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
+        return _result(cfg, cur, dx, dy, active), carry, counters
+
+    return init, step
+
+
+# ----------------------------------------------------------------------
+# Globalized Newton: Full Newton + Armijo line search on 1/2 ||F||^2
+# (reference newton.py:218-304)
+# ----------------------------------------------------------------------
+
+
+def _globalized(cfg: NewtonCfg):
+    fns = cfg.fns
+    params = cfg.params
+    m = fns.num_cons
+
+    def init(orig: Iterate, lamb, rho, tau, counters: Counters):
+        func = _make_func(cfg, orig, lamb)
+        return (func, rho, tau), counters
+
+    def step(carry, cur: Iterate, counters: Counters):
+        func, rho, tau = carry
+        orig = func.orig
+
+        active = impl.compute_active_set(func, cur, rho, tau)
+        H, counters = _eval_hess(cfg, cur, rho, counters)
+        fact = cfg.ssdef.factor(func, H, cur.cons_jac, active, rho)
+
+        # direction from the residual at the *origin* iterate
+        # (reference newton.py:250: step_solver.solve(self.orig_iterate))
+        dx0, dy0 = cfg.ssdef.solve(fact, func, orig, rho)
+
+        rx, ry = impl.value_at(func, cur, rho)
+        res_value = 0.5 * (jnp.dot(rx, rx) + jnp.dot(ry, ry))
+
+        # slope F'^T F (reference newton.py:263-272)
+        deriv = impl.deriv(func, cur.cons_jac, H, active)
+        fval = jnp.concatenate([rx, ry])
+        fgrad = deriv.T @ fval
+        n = dx0.shape[0]
+        inner = jnp.dot(fgrad[:n], dx0) + jnp.dot(fgrad[n:], dy0)
+
+        max_it = params.linesearch_max_it
+
+        def ls_cond(c):
+            return jnp.logical_and(c["trial"] < max_it, jnp.logical_not(c["done"]))
+
+        def ls_body(c):
+            dx, dy = c["dx"], c["dy"]
+            cand = evaluate_iterate(fns, cur.x - dx, cur.y - dy)
+            crx, cry = impl.value_at(func, cand, rho)
+            cres = 0.5 * (jnp.dot(crx, crx) + jnp.dot(cry, cry))
+
+            ok = jnp.logical_or(
+                cres <= params.newton_tol,
+                cres <= res_value + 1e-4 * c["alpha"] * inner,
+            )
+
+            alpha = c["alpha"] * 0.5
+            counters2 = c["counters"].add(**iterate_eval_counts(m))
+            return dict(
+                alpha=jnp.where(ok, c["alpha"], alpha),
+                dx=jnp.where(ok, dx, alpha * dx0),
+                dy=jnp.where(ok, dy, alpha * dy0),
+                trial=c["trial"] + 1,
+                done=ok,
+                counters=counters2,
+            )
+
+        ls0 = dict(
+            alpha=jnp.asarray(1.0, dx0.dtype),
+            dx=dx0,
+            dy=dy0,
+            trial=jnp.zeros((), jnp.int32),
+            done=res_value <= params.newton_tol,
+            counters=counters,
+        )
+        ls = jax.lax.while_loop(ls_cond, ls_body, ls0)
+        counters = ls["counters"]
+
+        # exhausted line search = failure -> non-finite step forces rejection
+        # (reference raises "Line search failed to converge", newton.py:297)
+        failed = jnp.logical_not(ls["done"])
+        nan = jnp.full_like(ls["dx"], jnp.nan)
+        dx = jnp.where(failed, nan, ls["dx"])
+        dy = ls["dy"]
+
+        # final step applied at the *origin* (reference newton.py:299)
+        return _result(cfg, orig, dx, dy, active), carry, counters
+
+    return init, step
+
+
+def make_newton(cfg: NewtonCfg):
+    """Factory keyed on NewtonType (reference ``newton.py:307-323``)."""
+    nt = cfg.params.newton_type
+    if nt == NewtonType.Simplified:
+        return _simplified(cfg)
+    elif nt == NewtonType.Full:
+        return _full(cfg)
+    elif nt == NewtonType.ActiveSet:
+        return _active_set(cfg)
+    else:
+        assert nt == NewtonType.Globalized
+        return _globalized(cfg)

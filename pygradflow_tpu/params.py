@@ -1,0 +1,250 @@
+"""Solver parameters and enums.
+
+Mirrors the configuration surface of the reference solver
+(``pygradflow/params.py:197-303``): one serializable dataclass holding every
+knob, nine enums, YAML round-trip, and string->enum coercion.  The TPU build
+adds a handful of knobs controlling jit chunking, filter capacity (penalty
+filters must be bounded to stay jit-able) and path-collection capacity.
+"""
+
+import dataclasses
+import enum
+from dataclasses import dataclass, field
+from enum import Enum, Flag, auto
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+class ActiveSetType(Enum):
+    """Heuristic used to pick the tau parameter controlling the active-set
+    projection point (reference ``pygradflow/step/newton_control.py:60-88``)."""
+
+    Standard = auto()
+    Explicit = auto()
+    SmallestActiveSet = auto()
+    LargestActiveSet = auto()
+
+
+class NewtonType(Enum):
+    """Semismooth Newton variant (reference ``pygradflow/newton.py``)."""
+
+    Simplified = auto()
+    """Derivative and active set frozen at the step origin (cheapest)."""
+    Full = auto()
+    """Re-evaluate derivatives and active set at every inner iteration."""
+    ActiveSet = auto()
+    """Derivatives frozen, active set recomputed each iterate."""
+    Globalized = auto()
+    """Full Newton with Armijo line search on the residual merit."""
+
+
+class StepSolverType(Enum):
+    """KKT system formulation (reference ``pygradflow/step/solver/``)."""
+
+    Standard = auto()
+    """Raw unsymmetric implicit-function Jacobian ``[[I + dt P'H, dt P'J^T], [-dt J, I]]``."""
+    Extended = auto()
+    """Scaled, permuted formulation (on TPU realized identically to Asymmetric)."""
+    Symmetric = auto()
+    """Scaled symmetric saddle-point formulation (supports inertia correction)."""
+    Asymmetric = auto()
+    """Scaled full-size formulation with identity rows for active variables."""
+
+
+class LinearSolverType(Enum):
+    """Dense/iterative linear-algebra backend for the KKT solve.
+
+    The reference binds native libraries (SuperLU/CHOLMOD/MA57/MUMPS/SSIDS,
+    ``pygradflow/linear_solver/``); here each maps to a TPU-native tier.
+    """
+
+    LU = auto()
+    """Dense LU factorization (XLA); the default, maps reference LUSolver."""
+    Cholesky = auto()
+    """Dense Cholesky; fails (rejecting the step) on non-posdef matrices."""
+    LDLT = auto()
+    """Dense blocked LDL^T with inertia extraction (maps MA57/MUMPS/SSIDS)."""
+    PallasLDLT = auto()
+    """Blocked LDL^T Pallas TPU kernel with inertia extraction."""
+    MINRES = auto()
+    """Iterative MINRES (symmetric step solver only), pure JAX while_loop."""
+    GMRES = auto()
+    """Iterative GMRES, pure JAX."""
+
+
+class StepControlType(Enum):
+    Exact = auto()
+    Fixed = auto()
+    Optimizing = auto()
+    BoxReduced = auto()
+    ResiduumRatio = auto()
+    DistanceRatio = auto()
+
+
+class PenaltyUpdate(Enum):
+    Constant = auto()
+    DualNorm = auto()
+    DualEquilibration = auto()
+    ParetoDecrease = auto()
+    ObjectiveFilter = auto()
+    LagrangianFilter = auto()
+
+
+class Precision(Enum):
+    """Floating point precision used in all calculations."""
+
+    Single = auto()
+    Double = auto()
+
+    HalfBF16 = auto()
+    """bfloat16 compute with float32 accumulation (TPU experimental tier)."""
+
+
+class DerivCheck(Flag):
+    """Derivative checking flags (reference ``pygradflow/params.py:146-163``)."""
+
+    NoCheck = 0
+    CheckFirst = 1 << 0
+    CheckSecond = 1 << 1
+    CheckAll = CheckFirst | CheckSecond
+
+
+class ScalingType(Enum):
+    """Problem scaling strategy (reference ``pygradflow/scale.py:233-280``)."""
+
+    NoScaling = auto()
+    GradJac = auto()
+    KKT = auto()
+    Nominal = auto()
+    Custom = auto()
+
+
+@dataclass
+class Params:
+    """Parameters controlling a solve.
+
+    Field names, semantics and defaults follow the reference
+    (``pygradflow/params.py:197-266``) so configurations written for the
+    reference carry over unchanged.
+    """
+
+    rho: float = 1e-8
+
+    theta_max: float = 0.9
+    theta_ref: float = 0.5
+
+    lamb_init: float = 1.0
+    lamb_min: float = 1e-12
+    lamb_max: float = 1e12
+    lamb_inc: float = 2.0
+    lamb_red: float = 0.5
+
+    K_P: float = 0.2
+    K_I: float = 0.005
+
+    opt_tol: float = 1e-6
+    lamb_term: float = 1e-8
+    active_tol: float = 1e-8
+
+    local_infeas_tol: float = 1e-8
+
+    active_set_type: ActiveSetType = ActiveSetType.Standard
+    active_set_method: Optional[Callable[..., float]] = None
+    active_set_tau: Optional[float] = None
+
+    newton_type: NewtonType = NewtonType.Simplified
+    newton_tol: float = 1e-8
+
+    step_control_type: StepControlType = StepControlType.DistanceRatio
+
+    step_solver: Optional[Callable[..., Any]] = None
+    step_solver_type: StepSolverType = StepSolverType.Symmetric
+    linear_solver_type: LinearSolverType = LinearSolverType.LU
+    penalty_update: PenaltyUpdate = PenaltyUpdate.DualNorm
+
+    deriv_check: DerivCheck = DerivCheck.NoCheck
+    deriv_pert: float = 1e-8
+    deriv_tol: float = 1e-4
+
+    precision: Precision = Precision.Double
+
+    scaling_type: ScalingType = ScalingType.NoScaling
+
+    scaling_primal: Optional[np.ndarray] = None
+    scaling_dual: Optional[np.ndarray] = None
+
+    scaling: Optional[Any] = None  # Scaling instance
+
+    validate_input: bool = True
+
+    iteration_limit: Optional[int] = None
+    time_limit: float = float(np.inf)
+    display_interval: float = 0.1
+    display: bool = False
+
+    obj_lower_limit: float = -1e10
+
+    report_rcond: bool = False
+    collect_path: bool = False
+
+    inertia_correction: bool = False
+
+    # --- TPU-specific knobs (no reference counterpart) -------------------
+    jit_chunk: int = 64
+    """Outer iterations executed per jit invocation (wall-clock/time-limit
+    and display callbacks happen at chunk boundaries)."""
+
+    filter_capacity: int = 64
+    """Fixed capacity of penalty-filter ring buffers: jit requires static
+    shapes, so the reference's unbounded filter list
+    (``pygradflow/penalty.py:186-238``) becomes a bounded buffer."""
+
+    path_capacity: int = 4096
+    """Maximum number of iterates recorded when ``collect_path`` is set."""
+
+    iteration_limit_default: int = 10_000
+    """Hard cap used when ``iteration_limit`` is None (lax.while_loop still
+    terminates on convergence; this only bounds the path buffer)."""
+
+    newton_max_it: int = 10
+    """Maximum inner Newton iterations of the Exact controller."""
+
+    linesearch_max_it: int = 30
+    """Maximum Armijo backtracking trials of the globalized Newton method."""
+
+    def __post_init__(self):
+        for key, attr in self.annotations():
+            if isinstance(attr, enum.EnumMeta):
+                val = getattr(self, key)
+                if isinstance(val, str):
+                    setattr(self, key, attr[val])
+
+    @property
+    def dtype(self):
+        if self.precision == Precision.Single:
+            return np.float32
+        return np.float64
+
+    def annotations(self):
+        return type(self).__annotations__.items()
+
+    def write(self, filename):
+        import yaml
+
+        class Dumper(yaml.SafeDumper):
+            def represent_data(self, data):
+                if isinstance(data, enum.Enum):
+                    return self.represent_data(data.name)
+                return super().represent_data(data)
+
+        with open(filename, "w") as f:
+            yaml.dump(dataclasses.asdict(self), f, Dumper=Dumper)
+
+    @staticmethod
+    def read(filename):
+        import yaml
+
+        with open(filename, "r") as f:
+            data = yaml.safe_load(f)
+            return Params(**data)
