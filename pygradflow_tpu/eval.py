@@ -76,6 +76,17 @@ class Counters(NamedTuple):
         }
 
 
+def _is_parametric(problem) -> bool:
+    """Walk transform wrappers down to the user problem."""
+    seen = set()
+    while id(problem) not in seen:
+        seen.add(id(problem))
+        if getattr(problem, "_parametric", False):
+            return True
+        problem = getattr(problem, "problem", problem)
+    return False
+
+
 class Fns(NamedTuple):
     """dtype-cast JAX evaluation closures for a (transformed) problem."""
 
@@ -95,40 +106,48 @@ def make_fns(problem: Problem, params: Params) -> Fns:
     inlines them for free, while *eager* callers (tests, finite-difference
     checks, the derivative checker) get cached compilations instead of a
     fresh ``jax.grad`` re-trace per call.
+
+    Exception: parametric problems (per-instance data bound at trace time,
+    ``parallel/batch.py``) must stay unjitted — a jitted closure would
+    capture the vmapped data tracer across a jit boundary.
     """
     dtype = params.dtype
     n = problem.num_vars
     m = problem.num_cons
 
-    @jax.jit
+    maybe_jit = (lambda f: f) if _is_parametric(problem) else jax.jit
+
+    @maybe_jit
     def obj(x):
         return jnp.asarray(problem.obj(x), dtype=dtype)
 
-    @jax.jit
+    @maybe_jit
     def obj_grad(x):
         return jnp.asarray(problem.obj_grad(x), dtype=dtype)
 
     if m > 0:
 
-        @jax.jit
+        @maybe_jit
         def cons(x):
             return jnp.asarray(problem.cons(x), dtype=dtype)
 
-        @jax.jit
+        @maybe_jit
         def cons_jac(x):
             return jnp.asarray(problem.cons_jac(x), dtype=dtype)
 
     else:
+        # derive the empty arrays from x (not fresh constants) so they
+        # carry x's device-varying type under shard_map
 
-        @jax.jit
+        @maybe_jit
         def cons(x):
-            return jnp.zeros((0,), dtype=dtype)
+            return x[:0].astype(dtype)
 
-        @jax.jit
+        @maybe_jit
         def cons_jac(x):
-            return jnp.zeros((0, n), dtype=dtype)
+            return (x[:0, None] * x[None, :]).astype(dtype)
 
-    @jax.jit
+    @maybe_jit
     def lag_hess(x, y):
         return jnp.asarray(problem.lag_hess(x, y), dtype=dtype)
 

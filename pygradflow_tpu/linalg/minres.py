@@ -25,7 +25,9 @@ def minres(A, b, x0=None, tol=1e-12, maxiter=None):
     beta1 = jnp.linalg.norm(r1)
     bnorm = jnp.linalg.norm(b)
 
-    zero = jnp.zeros((), dtype)
+    # scalars derived from beta1 so they share its device-varying type
+    # under shard_map
+    zero = jnp.zeros_like(beta1)
     init = dict(
         x=x,
         y=r1,
@@ -36,7 +38,7 @@ def minres(A, b, x0=None, tol=1e-12, maxiter=None):
         dbar=zero,
         epsln=zero,
         phibar=beta1,
-        cs=-jnp.ones((), dtype),
+        cs=-jnp.ones_like(beta1),
         sn=zero,
         w=jnp.zeros_like(b),
         w2=jnp.zeros_like(b),

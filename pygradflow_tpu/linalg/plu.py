@@ -72,6 +72,10 @@ def plu_factor(mat) -> PLUFactorization:
         return (a, perm)
 
     perm0 = jnp.broadcast_to(idx, mat.shape[:-2] + (n,)).astype(jnp.int32)
+    # derive from `mat` so the carry inherits mat's device-varying type
+    # under shard_map (a freshly created constant would be replicated and
+    # fail the while-loop carry type check)
+    perm0 = perm0 + jnp.zeros_like(mat[..., 0], dtype=jnp.int32)
     lu, perm = jax.lax.fori_loop(0, n, body, (mat, perm0))
     return PLUFactorization(lu=lu, perm=perm)
 

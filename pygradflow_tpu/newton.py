@@ -192,7 +192,7 @@ def _globalized(cfg: NewtonCfg):
             )
 
         ls0 = dict(
-            alpha=jnp.asarray(1.0, dx0.dtype),
+            alpha=jnp.ones_like(res_value),
             dx=dx0,
             dy=dy0,
             trial=jnp.zeros((), jnp.int32),

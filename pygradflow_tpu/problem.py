@@ -32,6 +32,10 @@ class Problem(abc.ABC):
     constraints ``c(x) = 0``.
     """
 
+    _parametric = False
+    """Set by ParametricProblem: evaluations read per-instance data bound at
+    trace time, so evaluation closures must not be individually jitted."""
+
     def __init__(self, var_lb, var_ub, **args) -> None:
         var_lb = np.asarray(var_lb, dtype=np.float64)
         var_ub = np.asarray(var_ub, dtype=np.float64)

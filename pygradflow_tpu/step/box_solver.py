@@ -121,10 +121,10 @@ def solve_box_constrained(
             ls_cond,
             ls_body,
             dict(
-                alpha=jnp.asarray(1.0, x.dtype),
+                alpha=jnp.ones_like(f),
                 x=x,
                 trial=jnp.zeros((), jnp.int32),
-                done=jnp.array(False),
+                done=jnp.isnan(f),  # varying False at a finite point
             ),
         )
 
@@ -152,7 +152,12 @@ def solve_box_constrained(
     out = jax.lax.while_loop(
         cond,
         body,
-        dict(x=x0, it=jnp.zeros((), jnp.int32), status=jnp.asarray(BOX_RUNNING, jnp.int32)),
+        dict(
+            x=x0,
+            it=jnp.zeros((), jnp.int32),
+            # derive from x0 to stay device-varying under shard_map
+            status=jnp.zeros_like(x0[0]).astype(jnp.int32) + BOX_RUNNING,
+        ),
     )
 
     status = jnp.where(

@@ -178,8 +178,11 @@ def _distance_ratio(cfg: ControlCfg):
             lamb_n = jnp.where(
                 conv1, jnp.maximum(lamb * params.lamb_red, params.lamb_min), lamb
             )
+            # `conv1 | ~conv1` instead of a constant True: keeps the value
+            # device-varying under shard_map so cond branch types match
+            accepted = jnp.logical_or(conv1, jnp.logical_not(conv1))
             return ControlResult(
-                mid_it, lamb_n, jnp.array(True), error_sum, step1.active_set, counters
+                mid_it, lamb_n, accepted, error_sum, step1.active_set, counters
             )
 
         def full_branch(counters):
@@ -303,8 +306,10 @@ def _exact(cfg: ControlCfg):
             counters=counters,
             val=curr_val,
             i=jnp.zeros((), jnp.int32),
-            state=jnp.zeros((), jnp.int32),
-            active=jnp.zeros(cfg.fns.num_vars, dtype=bool),
+            # derive from varying values so while-loop carry types match
+            # under shard_map
+            state=jnp.zeros_like(curr_val).astype(jnp.int32),
+            active=jnp.zeros_like(orig.x, dtype=bool),
         )
         out = jax.lax.while_loop(cond, body, init)
 
@@ -331,9 +336,10 @@ def _fixed(cfg: ControlCfg):
         carry, counters = cfg.newton_init(orig, lamb, rho, tau, counters)
         step1, _, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
-        lamb_n = jnp.asarray(params.lamb_init, mid_it.x.dtype)
+        lamb_n = jnp.zeros_like(lamb) + params.lamb_init
+        accepted = lamb_n == lamb_n  # varying True (see distance-ratio note)
         return ControlResult(
-            mid_it, lamb_n, jnp.array(True), error_sum, step1.active_set, counters
+            mid_it, lamb_n, accepted, error_sum, step1.active_set, counters
         )
 
     return step
