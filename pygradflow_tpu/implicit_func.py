@@ -22,8 +22,9 @@ gathers.  Active-set "reduction" is realized by substituting identity rows
 the sliced formulations.
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .iterate import Iterate, aug_lag_deriv_x
@@ -31,15 +32,26 @@ from .iterate import Iterate, aug_lag_deriv_x
 ACTIVE_EPS = 1e-8  # strict box tolerance (reference implicit_func.py:44)
 
 
-class StepFunc(NamedTuple):
-    """Static description of the step residual: origin iterate, bounds and
-    step size.  ``scaled`` selects the lambda-scaled variant."""
+@jax.tree_util.register_pytree_node_class
+class StepFunc:
+    """Description of the step residual: origin iterate, bounds and step
+    size.  ``scaled`` selects the lambda-scaled variant; it is registered
+    as static pytree metadata so a StepFunc can be carried through
+    lax.while_loop / lax.cond without the flag becoming a tracer."""
 
-    orig: Iterate
-    lamb: Any
-    lb: Any
-    ub: Any
-    scaled: bool
+    def __init__(self, orig: Iterate, lamb, lb, ub, scaled: bool):
+        self.orig = orig
+        self.lamb = lamb
+        self.lb = lb
+        self.ub = ub
+        self.scaled = scaled
+
+    def tree_flatten(self):
+        return (self.orig, self.lamb, self.lb, self.ub), self.scaled
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, scaled=aux)
 
     @property
     def dt(self):

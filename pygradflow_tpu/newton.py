@@ -56,8 +56,8 @@ def _make_func(cfg: NewtonCfg, orig: Iterate, lamb) -> impl.StepFunc:
     return impl.make_step_func(orig, lamb, cfg.lb, cfg.ub, scaled=cfg.ssdef.scaled)
 
 
-def _result(cfg: NewtonCfg, it: Iterate, dx, dy, active) -> StepResult:
-    return make_step_result(it, dx, dy, cfg.lb, cfg.ub, active)
+def _result(cfg: NewtonCfg, it: Iterate, dx, dy, active, rcond=None) -> StepResult:
+    return make_step_result(it, dx, dy, cfg.lb, cfg.ub, active, rcond)
 
 
 # ----------------------------------------------------------------------
@@ -78,7 +78,7 @@ def _simplified(cfg: NewtonCfg):
     def step(carry, cur: Iterate, counters: Counters):
         func, fact, rho = carry
         dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
-        return _result(cfg, cur, dx, dy, fact.active), carry, counters
+        return _result(cfg, cur, dx, dy, fact.active, fact.rcond), carry, counters
 
     return init, step
 
@@ -100,7 +100,7 @@ def _full(cfg: NewtonCfg):
         H, counters = _eval_hess(cfg, cur, rho, counters)
         fact = cfg.ssdef.factor(func, H, cur.cons_jac, active, rho)
         dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
-        return _result(cfg, cur, dx, dy, active), carry, counters
+        return _result(cfg, cur, dx, dy, active, fact.rcond), carry, counters
 
     return init, step
 
@@ -122,7 +122,7 @@ def _active_set(cfg: NewtonCfg):
         active = impl.compute_active_set(func, cur, rho, tau)
         fact = cfg.ssdef.factor(func, H, J, active, rho)
         dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
-        return _result(cfg, cur, dx, dy, active), carry, counters
+        return _result(cfg, cur, dx, dy, active, fact.rcond), carry, counters
 
     return init, step
 
@@ -210,7 +210,7 @@ def _globalized(cfg: NewtonCfg):
         dy = ls["dy"]
 
         # final step applied at the *origin* (reference newton.py:299)
-        return _result(cfg, orig, dx, dy, active), carry, counters
+        return _result(cfg, orig, dx, dy, active, fact.rcond), carry, counters
 
     return init, step
 

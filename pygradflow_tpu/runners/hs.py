@@ -1,0 +1,276 @@
+"""Native Hock-Schittkowski test suite.
+
+The reference benchmarks against CUTEst via the Fortran pycutest binding
+(``runners/cutest_runner.py``); on TPU the equivalent is a pure-JAX
+collection of the classical Hock-Schittkowski problems (standard
+formulations from the H&S book) with autodiff derivatives — per the
+build plan (SURVEY.md §7, stage 8).
+
+Each entry records the book initial point and, where closed-form, the
+known optimum and optimal value for verification.
+"""
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import Problem
+
+INF = np.inf
+
+
+class HSProblem(Problem):
+    def __init__(self, spec):
+        self._spec = spec
+        kwargs = {}
+        if spec.cons_lb is not None or spec.cons_ub is not None:
+            kwargs = dict(cons_lb=spec.cons_lb, cons_ub=spec.cons_ub)
+        elif spec.num_eq_cons:
+            kwargs = dict(num_cons=spec.num_eq_cons)
+        super().__init__(spec.var_lb, spec.var_ub, **kwargs)
+
+    def obj(self, x):
+        return self._spec.obj(x)
+
+    def cons(self, x):
+        return self._spec.cons(x)
+
+
+class HSSpec(NamedTuple):
+    name: str
+    obj: Callable
+    var_lb: np.ndarray
+    var_ub: np.ndarray
+    x0: np.ndarray
+    cons: Optional[Callable] = None
+    cons_lb: Optional[np.ndarray] = None
+    cons_ub: Optional[np.ndarray] = None
+    num_eq_cons: int = 0
+    x_opt: Optional[np.ndarray] = None
+    f_opt: Optional[float] = None
+
+    def problem(self) -> HSProblem:
+        return HSProblem(self)
+
+
+def _a(*vals):
+    return np.array(vals, dtype=np.float64)
+
+
+def _rosenbrock_obj(x):
+    return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+
+HS_SPECS = [
+    HSSpec(
+        name="hs1",
+        obj=_rosenbrock_obj,
+        var_lb=_a(-INF, -1.5),
+        var_ub=_a(INF, INF),
+        x0=_a(-2.0, 1.0),
+        x_opt=_a(1.0, 1.0),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs2",
+        obj=_rosenbrock_obj,
+        var_lb=_a(-INF, 1.5),
+        var_ub=_a(INF, INF),
+        x0=_a(-2.0, 1.0),
+        x_opt=_a(1.2243707487363527, 1.5),
+        f_opt=0.05042618789356104,
+    ),
+    HSSpec(
+        name="hs3",
+        obj=lambda x: x[1] + 1e-5 * (x[1] - x[0]) ** 2,
+        var_lb=_a(-INF, 0.0),
+        var_ub=_a(INF, INF),
+        x0=_a(10.0, 1.0),
+        x_opt=_a(0.0, 0.0),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs4",
+        obj=lambda x: (x[0] + 1.0) ** 3 / 3.0 + x[1],
+        var_lb=_a(1.0, 0.0),
+        var_ub=_a(INF, INF),
+        x0=_a(1.125, 0.125),
+        x_opt=_a(1.0, 0.0),
+        f_opt=8.0 / 3.0,
+    ),
+    HSSpec(
+        name="hs5",
+        obj=lambda x: (
+            jnp.sin(x[0] + x[1])
+            + (x[0] - x[1]) ** 2
+            - 1.5 * x[0]
+            + 2.5 * x[1]
+            + 1.0
+        ),
+        var_lb=_a(-1.5, -3.0),
+        var_ub=_a(4.0, 3.0),
+        x0=_a(0.0, 0.0),
+        x_opt=_a(0.5 - math.pi / 3.0, 0.5 - math.pi / 3.0 - 1.0),
+        f_opt=-math.sqrt(3.0) / 2.0 - math.pi / 3.0,
+    ),
+    HSSpec(
+        name="hs6",
+        obj=lambda x: (1.0 - x[0]) ** 2,
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(-1.2, 1.0),
+        cons=lambda x: jnp.array([10.0 * (x[1] - x[0] ** 2)]),
+        num_eq_cons=1,
+        x_opt=_a(1.0, 1.0),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs7",
+        obj=lambda x: jnp.log(1.0 + x[0] ** 2) - x[1],
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(2.0, 2.0),
+        cons=lambda x: jnp.array([(1.0 + x[0] ** 2) ** 2 + x[1] ** 2 - 4.0]),
+        num_eq_cons=1,
+        x_opt=_a(0.0, math.sqrt(3.0)),
+        f_opt=-math.sqrt(3.0),
+    ),
+    HSSpec(
+        name="hs14",
+        obj=lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2,
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(2.0, 2.0),
+        cons=lambda x: jnp.array(
+            [x[0] - 2.0 * x[1] + 1.0, -0.25 * x[0] ** 2 - x[1] ** 2 + 1.0]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(0.0, INF),
+        x_opt=_a(0.5 * (math.sqrt(7.0) - 1.0), 0.25 * (math.sqrt(7.0) + 1.0)),
+        f_opt=9.0 - 2.875 * math.sqrt(7.0),
+    ),
+    HSSpec(
+        name="hs21",
+        obj=lambda x: 0.01 * x[0] ** 2 + x[1] ** 2 - 100.0,
+        var_lb=_a(2.0, -50.0),
+        var_ub=_a(50.0, 50.0),
+        x0=_a(-1.0, -1.0),
+        cons=lambda x: jnp.array([10.0 * x[0] - x[1]]),
+        cons_lb=_a(10.0),
+        cons_ub=_a(INF),
+        x_opt=_a(2.0, 0.0),
+        f_opt=-99.96,
+    ),
+    HSSpec(
+        name="hs28",
+        obj=lambda x: (x[0] + x[1]) ** 2 + (x[1] + x[2]) ** 2,
+        var_lb=_a(-INF, -INF, -INF),
+        var_ub=_a(INF, INF, INF),
+        x0=_a(-4.0, 1.0, 1.0),
+        cons=lambda x: jnp.array([x[0] + 2.0 * x[1] + 3.0 * x[2] - 1.0]),
+        num_eq_cons=1,
+        x_opt=_a(0.5, -0.5, 0.5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs35",
+        obj=lambda x: (
+            9.0
+            - 8.0 * x[0]
+            - 6.0 * x[1]
+            - 4.0 * x[2]
+            + 2.0 * x[0] ** 2
+            + 2.0 * x[1] ** 2
+            + x[2] ** 2
+            + 2.0 * x[0] * x[1]
+            + 2.0 * x[0] * x[2]
+        ),
+        var_lb=_a(0.0, 0.0, 0.0),
+        var_ub=_a(INF, INF, INF),
+        x0=_a(0.5, 0.5, 0.5),
+        cons=lambda x: jnp.array([x[0] + x[1] + 2.0 * x[2]]),
+        cons_lb=_a(-INF),
+        cons_ub=_a(3.0),
+        x_opt=_a(4.0 / 3.0, 7.0 / 9.0, 4.0 / 9.0),
+        f_opt=1.0 / 9.0,
+    ),
+    HSSpec(
+        name="hs38",
+        obj=lambda x: (
+            100.0 * (x[1] - x[0] ** 2) ** 2
+            + (1.0 - x[0]) ** 2
+            + 90.0 * (x[3] - x[2] ** 2) ** 2
+            + (1.0 - x[2]) ** 2
+            + 10.1 * ((x[1] - 1.0) ** 2 + (x[3] - 1.0) ** 2)
+            + 19.8 * (x[1] - 1.0) * (x[3] - 1.0)
+        ),
+        var_lb=np.full(4, -10.0),
+        var_ub=np.full(4, 10.0),
+        x0=_a(-3.0, -1.0, -3.0, -1.0),
+        x_opt=np.ones(4),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs45",
+        obj=lambda x: 2.0 - x[0] * x[1] * x[2] * x[3] * x[4] / 120.0,
+        var_lb=np.zeros(5),
+        var_ub=_a(1.0, 2.0, 3.0, 4.0, 5.0),
+        x0=np.full(5, 2.0) .clip(np.zeros(5), _a(1.0, 2.0, 3.0, 4.0, 5.0)),
+        x_opt=_a(1.0, 2.0, 3.0, 4.0, 5.0),
+        f_opt=1.0,
+    ),
+    HSSpec(
+        name="hs48",
+        obj=lambda x: (x[0] - 1.0) ** 2 + (x[1] - x[2]) ** 2 + (x[3] - x[4]) ** 2,
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(3.0, 5.0, -3.0, 2.0, -2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + x[1] + x[2] + x[3] + x[4] - 5.0,
+                x[2] - 2.0 * (x[3] + x[4]) + 3.0,
+            ]
+        ),
+        num_eq_cons=2,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs51",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[1] + x[2] - 2.0) ** 2
+            + (x[3] - 1.0) ** 2
+            + (x[4] - 1.0) ** 2
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(2.5, 0.5, 2.0, -1.0, 0.5),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 3.0 * x[1] - 4.0,
+                x[2] + x[3] - 2.0 * x[4],
+                x[1] - x[4],
+            ]
+        ),
+        num_eq_cons=3,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs71",
+        obj=lambda x: x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2],
+        var_lb=np.ones(4),
+        var_ub=np.full(4, 5.0),
+        x0=_a(1.0, 5.0, 5.0, 1.0),
+        cons=lambda x: jnp.array([jnp.prod(x), jnp.dot(x, x)]),
+        cons_lb=_a(25.0, 40.0),
+        cons_ub=_a(INF, 40.0),
+        x_opt=_a(1.0, 4.74299964, 3.82114998, 1.37940829),
+        f_opt=17.0140173,
+    ),
+]
+
+HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

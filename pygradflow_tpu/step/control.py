@@ -288,7 +288,7 @@ def _exact(cfg: ControlCfg):
             # also treat non-finite residuals as failure
             bad = jnp.logical_or(bad, jnp.logical_not(jnp.isfinite(next_val)))
 
-            state = jnp.where(converged, 1, jnp.where(bad, 2, 0))
+            state = jnp.where(converged, 1, jnp.where(bad, 2, 0)).astype(jnp.int32)
 
             return dict(
                 it=next_it,

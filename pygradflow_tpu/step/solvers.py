@@ -48,17 +48,26 @@ class StepResult(NamedTuple):
     dy: Any
     diff: Any
     active_set: Any
+    rcond: Any  # estimated reciprocal condition number (NaN when disabled)
 
 
-def make_step_result(it: Iterate, dx, dy, lb, ub, active_set) -> StepResult:
+def make_step_result(it: Iterate, dx, dy, lb, ub, active_set, rcond=None) -> StepResult:
     xn = it.x - dx
     at_lb = xn < lb
     at_ub = xn > ub
     xn = jnp.clip(xn, lb, ub)
     dxc = jnp.where(at_lb, it.x - lb, jnp.where(at_ub, it.x - ub, dx))
     yn = it.y - dy
+    if rcond is None:
+        rcond = jnp.full((), jnp.nan, dtype=xn.dtype)
     return StepResult(
-        xn=xn, yn=yn, dx=dxc, dy=dy, diff=norm_mult(dxc, dy), active_set=active_set
+        xn=xn,
+        yn=yn,
+        dx=dxc,
+        dy=dy,
+        diff=norm_mult(dxc, dy),
+        active_set=active_set,
+        rcond=rcond,
     )
 
 
@@ -70,6 +79,7 @@ class Factorization(NamedTuple):
     hess_shifted: Any  # H + lambda I (scaled solvers) for rhs condensation
     jac: Any
     inertia_ok: Any  # scalar bool; False forces NaN -> step rejection
+    rcond: Any  # Dixon rcond estimate (NaN when params.report_rcond off)
 
 
 class StepSolverDef(NamedTuple):
@@ -89,6 +99,20 @@ def _lower_block(m, lamb, rho, dtype):
     return -(lamb * fact) * jnp.eye(m, dtype=dtype)
 
 
+def _maybe_rcond(lin: LinearSolver, report: bool, mat, fact):
+    """Dixon rcond estimate of the assembled system when requested
+    (reference ``step/solver/step_solver.py:100-112``)."""
+    if not report:
+        return jnp.full((), jnp.nan, dtype=mat.dtype)
+    from .cond_estimate import estimate_rcond
+
+    return estimate_rcond(
+        mat,
+        lambda r: lin.solve(fact, r),
+        lambda r: lin.solve_trans(fact, r),
+    )
+
+
 def step_solver_def(params: Params) -> StepSolverDef:
     solver_type = params.step_solver_type
     lin: LinearSolver = linear_solver(
@@ -96,14 +120,15 @@ def step_solver_def(params: Params) -> StepSolverDef:
         symmetric=(solver_type == StepSolverType.Symmetric),
     )
     inertia_correction = params.inertia_correction
+    report_rcond = params.report_rcond
 
     if solver_type == StepSolverType.Standard:
-        return _standard_def(lin)
+        return _standard_def(lin, report_rcond)
     elif solver_type == StepSolverType.Symmetric:
-        return _symmetric_def(lin, inertia_correction)
+        return _symmetric_def(lin, inertia_correction, report_rcond)
     else:
         # Asymmetric and Extended share the dense assembly (see module doc)
-        return _asymmetric_def(lin)
+        return _asymmetric_def(lin, report_rcond)
 
 
 # ----------------------------------------------------------------------
@@ -111,15 +136,17 @@ def step_solver_def(params: Params) -> StepSolverDef:
 # ----------------------------------------------------------------------
 
 
-def _standard_def(lin: LinearSolver) -> StepSolverDef:
+def _standard_def(lin: LinearSolver, report_rcond: bool) -> StepSolverDef:
     def factor(func: impl.StepFunc, H, J, active, rho):
         mat = impl.deriv(func, J, H, active)
+        fact = lin.factor(mat)
         return Factorization(
-            fact=lin.factor(mat),
+            fact=fact,
             active=active,
             hess_shifted=H,
             jac=J,
             inertia_ok=jnp.array(True),
+            rcond=_maybe_rcond(lin, report_rcond, mat, fact),
         )
 
     def solve(f: Factorization, func: impl.StepFunc, it: Iterate, rho):
@@ -143,7 +170,7 @@ def _standard_def(lin: LinearSolver) -> StepSolverDef:
 # ----------------------------------------------------------------------
 
 
-def _asymmetric_def(lin: LinearSolver) -> StepSolverDef:
+def _asymmetric_def(lin: LinearSolver, report_rcond: bool) -> StepSolverDef:
     def factor(func: impl.StepFunc, H, J, active, rho):
         lamb = func.lamb
         n = H.shape[0]
@@ -162,12 +189,14 @@ def _asymmetric_def(lin: LinearSolver) -> StepSolverDef:
         bot = jnp.concatenate([J, M22], axis=1)
         mat = jnp.concatenate([top, bot], axis=0)
 
+        fact = lin.factor(mat)
         return Factorization(
-            fact=lin.factor(mat),
+            fact=fact,
             active=active,
             hess_shifted=Hl,
             jac=J,
             inertia_ok=jnp.array(True),
+            rcond=_maybe_rcond(lin, report_rcond, mat, fact),
         )
 
     def solve(f: Factorization, func: impl.StepFunc, it: Iterate, rho):
@@ -204,7 +233,9 @@ def _asymmetric_def(lin: LinearSolver) -> StepSolverDef:
 # ----------------------------------------------------------------------
 
 
-def _symmetric_def(lin: LinearSolver, inertia_correction: bool) -> StepSolverDef:
+def _symmetric_def(
+    lin: LinearSolver, inertia_correction: bool, report_rcond: bool
+) -> StepSolverDef:
     def factor(func: impl.StepFunc, H, J, active, rho):
         lamb = func.lamb
         n = H.shape[0]
@@ -237,7 +268,12 @@ def _symmetric_def(lin: LinearSolver, inertia_correction: bool) -> StepSolverDef
             inertia_ok = lin.num_neg_eigvals(fact) == m
 
         return Factorization(
-            fact=fact, active=active, hess_shifted=Hl, jac=J, inertia_ok=inertia_ok
+            fact=fact,
+            active=active,
+            hess_shifted=Hl,
+            jac=J,
+            inertia_ok=inertia_ok,
+            rcond=_maybe_rcond(lin, report_rcond, mat, fact),
         )
 
     def solve(f: Factorization, func: impl.StepFunc, it: Iterate, rho):

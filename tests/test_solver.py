@@ -1,0 +1,277 @@
+"""End-to-end solver tests (mirror of reference ``test_solver.py``):
+known-optimum solves, configuration sweeps, failure conditions, custom
+step-solver behavior, single precision, perform_iteration.
+
+The full cartesian sweep (NewtonType x StepSolverType x LinearSolverType x
+StepControlType x PenaltyUpdate) costs one XLA compile of the whole solver
+loop per combination; by default a reduced one-factor-at-a-time matrix runs
+(each enum value exercised at least once), the full product with
+``PYGRADFLOW_TPU_FULL_SWEEP=1``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pygradflow_tpu import (
+    LinearSolverType,
+    NewtonType,
+    Params,
+    PenaltyUpdate,
+    Precision,
+    Solver,
+    SolverStatus,
+    StepControlType,
+    StepSolverType,
+)
+
+from tests.problems import (
+    hs71_constrained_instance,
+    hs71_instance,
+    rosenbrock_instance,
+    tame_instance,
+)
+
+FULL = bool(os.environ.get("PYGRADFLOW_TPU_FULL_SWEEP"))
+
+ATOL = 1e-6
+
+
+def _solve_and_check(inst, params=None, atol=ATOL):
+    if params is None:
+        params = Params()
+    solver = Solver(inst.problem, params)
+    result = solver.solve(inst.x_0, inst.y_0)
+    assert result.success, f"status: {result.status}"
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=atol)
+    if inst.y_opt.size:
+        np.testing.assert_allclose(result.y, inst.y_opt, atol=atol)
+    return result
+
+
+def test_solve_rosenbrock_matches_reference_counts():
+    inst = rosenbrock_instance()
+    result = _solve_and_check(inst)
+    # anchor to the reference docs example (docs/solve_rosenbrock.output:4-6)
+    assert result.iterations == 30
+    assert result.num_accepted_steps == 25
+
+
+def test_solve_hs71():
+    _solve_and_check(hs71_instance())
+
+
+def test_solve_hs71_constrained():
+    _solve_and_check(hs71_constrained_instance())
+
+
+def test_solve_tame():
+    inst = tame_instance()
+    result = _solve_and_check(inst)
+    assert result.iterations == 7
+
+
+if FULL:
+    _newton_cases = [
+        (nt, st)
+        for nt in NewtonType
+        for st in [
+            StepSolverType.Symmetric,
+            StepSolverType.Asymmetric,
+            StepSolverType.Standard,
+            StepSolverType.Extended,
+        ]
+    ]
+else:
+    _newton_cases = [(nt, StepSolverType.Symmetric) for nt in NewtonType] + [
+        (NewtonType.Simplified, st)
+        for st in [
+            StepSolverType.Asymmetric,
+            StepSolverType.Standard,
+            StepSolverType.Extended,
+        ]
+    ]
+
+
+@pytest.mark.parametrize("newton_type,step_solver_type", _newton_cases)
+def test_newton_step_solver_sweep(newton_type, step_solver_type):
+    params = Params(newton_type=newton_type, step_solver_type=step_solver_type)
+    _solve_and_check(tame_instance(), params)
+
+
+_linear_cases = [
+    LinearSolverType.LU,
+    LinearSolverType.LDLT,
+    LinearSolverType.MINRES,
+    LinearSolverType.GMRES,
+]
+
+
+@pytest.mark.parametrize("linear_solver_type", _linear_cases)
+def test_linear_solver_sweep(linear_solver_type):
+    params = Params(
+        linear_solver_type=linear_solver_type,
+        step_solver_type=StepSolverType.Symmetric,
+    )
+    _solve_and_check(tame_instance(), params)
+
+
+@pytest.mark.parametrize(
+    "step_control_type",
+    [
+        StepControlType.DistanceRatio,
+        StepControlType.ResiduumRatio,
+        StepControlType.Exact,
+        StepControlType.BoxReduced,
+        StepControlType.Optimizing,
+    ],
+)
+def test_step_control_sweep(step_control_type):
+    # rho=1e-1 as in the reference sweep (test_solver.py:117-120)
+    params = Params(step_control_type=step_control_type, rho=1e-1)
+    _solve_and_check(hs71_instance(), params)
+
+
+# DualEquilibration is excluded like in the reference sweep
+# (test_solver.py:139-149): it does not converge on HS71 there either.
+@pytest.mark.parametrize(
+    "penalty_update",
+    [
+        PenaltyUpdate.Constant,
+        PenaltyUpdate.DualNorm,
+        PenaltyUpdate.ParetoDecrease,
+        PenaltyUpdate.ObjectiveFilter,
+        PenaltyUpdate.LagrangianFilter,
+    ],
+)
+def test_penalty_sweep(penalty_update):
+    params = Params(penalty_update=penalty_update)
+    _solve_and_check(hs71_instance(), params)
+
+
+def test_dual_equilibration_runs():
+    """DualEquilibration grows rho aggressively and fails to converge on
+    HS71 (in the reference too); assert it runs to the iteration limit
+    without blowing up rather than converging."""
+    params = Params(
+        penalty_update=PenaltyUpdate.DualEquilibration, iteration_limit=50
+    )
+    solver = Solver(hs71_instance().problem, params)
+    result = solver.solve(hs71_instance().x_0, hs71_instance().y_0)
+    assert result.status in (SolverStatus.Optimal, SolverStatus.IterationLimit)
+
+
+def test_inertia_correction():
+    params = Params(
+        inertia_correction=True,
+        linear_solver_type=LinearSolverType.LDLT,
+        step_solver_type=StepSolverType.Symmetric,
+    )
+    _solve_and_check(hs71_instance(), params)
+
+
+def test_single_precision():
+    inst = rosenbrock_instance()
+    params = Params(precision=Precision.Single, opt_tol=1e-4, lamb_min=1e-6)
+    solver = Solver(inst.problem, params)
+    result = solver.solve(inst.x_0, inst.y_0)
+    assert result.success
+    assert result.x.dtype == np.float32
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-3)
+
+
+def test_perform_iteration():
+    inst = rosenbrock_instance()
+    solver = Solver(inst.problem, Params())
+    (x, y, d) = solver.perform_iteration(inst.x_0, inst.y_0)
+    assert x.shape == (2,)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_deriv_check_detects_wrong_gradient():
+    from pygradflow_tpu import DerivCheck
+    from pygradflow_tpu.deriv_check import DerivError
+    from pygradflow_tpu.problem import Problem
+
+    import jax.numpy as jnp
+
+    class WrongGrad(Problem):
+        def __init__(self):
+            super().__init__(np.array([-np.inf] * 2), np.array([np.inf] * 2))
+
+        def obj(self, x):
+            return jnp.dot(x, x)
+
+        def obj_grad(self, x):
+            g = 2.0 * x
+            return g.at[1].add(3.0)  # corrupt one entry
+
+    params = Params(deriv_check=DerivCheck.CheckFirst)
+    solver = Solver(WrongGrad(), params)
+    with pytest.raises(DerivError) as exc:
+        solver.solve(np.array([1.0, 1.0]))
+    # the corrupted index must be reported exactly
+    assert (exc.value.invalid_indices == [[0, 1]]).all()
+
+
+def test_deriv_check_detects_wrong_hessian():
+    from pygradflow_tpu import DerivCheck
+    from pygradflow_tpu.deriv_check import DerivError
+    from pygradflow_tpu.problem import Problem
+
+    import jax.numpy as jnp
+
+    class WrongHess(Problem):
+        def __init__(self):
+            super().__init__(np.array([-np.inf] * 2), np.array([np.inf] * 2))
+
+        def obj(self, x):
+            return jnp.dot(x, x)
+
+        def lag_hess(self, x, y):
+            return 2.0 * jnp.eye(2) + jnp.array([[0.0, 1.0], [0.0, 0.0]])
+
+    params = Params(deriv_check=DerivCheck.CheckSecond)
+    solver = Solver(WrongHess(), params)
+    with pytest.raises(DerivError):
+        solver.solve(np.array([1.0, 1.0]))
+
+
+def test_iteration_limit():
+    inst = rosenbrock_instance()
+    params = Params(iteration_limit=3)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.status == SolverStatus.IterationLimit
+    assert result.iterations == 3
+
+
+def test_time_limit():
+    inst = rosenbrock_instance()
+    params = Params(time_limit=0.0, jit_chunk=1)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.status == SolverStatus.TimeLimit
+
+
+def test_eval_counts_reported():
+    inst = rosenbrock_instance()
+    result = Solver(inst.problem, Params()).solve(inst.x_0, inst.y_0)
+    from pygradflow_tpu.eval import Component
+
+    counts = result.num_evals
+    assert counts[Component.Obj] > 0
+    assert counts[Component.ObjGrad] > 0
+    assert counts[Component.LagHess] >= result.iterations
+
+
+def test_collect_path():
+    inst = rosenbrock_instance()
+    params = Params(collect_path=True)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.success
+    path = result.path
+    assert path.shape[0] == 2  # num_vars + num_cons
+    assert path.shape[1] == result.num_accepted_steps + 1
+    np.testing.assert_allclose(path[:, -1], result.x, atol=1e-12)
+    assert result.model_times.shape == (path.shape[1],)
+    assert result.primal_model_speed.shape == (path.shape[1] - 1,)
