@@ -114,6 +114,11 @@ def _maybe_rcond(lin: LinearSolver, report: bool, mat, fact):
 
 
 def step_solver_def(params: Params) -> StepSolverDef:
+    # custom step-solver injection (reference params.step_solver,
+    # tests/.../test_solver.py:43-76): a callable params -> StepSolverDef
+    if params.step_solver is not None:
+        return params.step_solver(params)
+
     solver_type = params.step_solver_type
     lin: LinearSolver = linear_solver(
         params.linear_solver_type,

@@ -1,0 +1,138 @@
+"""Scaling tests (mirror of reference ``test_scale.py``): zero-scaling
+identity, ldexp round-trips, scaled-problem derivative consistency,
+KKT equilibration bounds, end-to-end scaled solves."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygradflow_tpu import Params, ScalingType, Solver
+from pygradflow_tpu.scale import ScaledProblem, Scaling, scale_symmetric
+
+from tests.problems import HS71Constrained, hs71_constrained_instance, rosenbrock_instance
+
+
+def test_zero_scaling_identity():
+    scaling = Scaling.zero(3, 2)
+    x = jnp.asarray([1.234, -5.5, 0.125])
+    y = jnp.asarray([0.7, -0.3])
+    np.testing.assert_array_equal(np.asarray(scaling.scale_primal(x)), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(scaling.scale_dual(y)), np.asarray(y))
+
+
+def test_ldexp_roundtrip():
+    scaling = Scaling(np.array([3, -2, 0, 7]), np.array([-1, 4]), obj_weight=2)
+    x = jnp.asarray([1.234, -5.5, 0.125, 3.25])
+    y = jnp.asarray([0.7, -0.3])
+
+    # power-of-2 scaling is exact: round-trips are bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(scaling.unscale_primal(scaling.scale_primal(x))), np.asarray(x)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scaling.unscale_dual(scaling.scale_dual(y))), np.asarray(y)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scaling.unscale_bounds_dual(scaling.scale_bounds_dual(x))),
+        np.asarray(x),
+    )
+
+
+def test_nominal_weights():
+    # weights put nominal values into [1, 2)
+    values = np.array([0.001, 0.5, 3.0, 1000.0])
+    w = Scaling.weights_from_nominal_values(values)
+    scaled = np.ldexp(values, w)
+    assert ((1.0 <= scaled) & (scaled < 2.0)).all()
+
+
+def test_scaled_problem_derivs_consistent():
+    """Autodiff of the scaled problem must match the scaled autodiff of the
+    original problem."""
+    problem = HS71Constrained()
+    scaling = Scaling(np.array([1, -1, 2, 0]), np.array([1, -2]), obj_weight=1)
+    scaled = ScaledProblem(problem, scaling)
+
+    x_orig = jnp.asarray([1.5, 4.0, 3.3, 1.9])
+    x_scaled = scaling.scale_primal(x_orig)
+
+    # objective: f_s(x_s) = ldexp(f(x), obj_weight)
+    np.testing.assert_allclose(
+        float(scaled.obj(x_scaled)),
+        float(np.ldexp(float(problem.obj(x_orig)), scaling.obj_weight)),
+        rtol=1e-14,
+    )
+
+    # gradient via autodiff of the scaled obj vs explicit rescaling
+    import jax
+
+    g_auto = np.asarray(jax.grad(scaled.obj)(x_scaled))
+    g_expl = np.asarray(scaled.obj_grad(x_scaled))
+    np.testing.assert_allclose(g_auto, g_expl, rtol=1e-12)
+
+    j_auto = np.asarray(jax.jacfwd(scaled.cons)(x_scaled))
+    j_expl = np.asarray(scaled.cons_jac(x_scaled))
+    np.testing.assert_allclose(j_auto, j_expl, rtol=1e-12)
+
+
+def test_scale_symmetric_row_norms():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6))
+    A = A + A.T + np.diag([1e4, 1e-3, 1.0, 50.0, 2e-6, 3.0])
+
+    D = scale_symmetric(np.abs(A))
+    scaled = np.ldexp(np.abs(A), D[:, None] + D[None, :])
+    norms = np.sqrt(np.abs(scaled).sum(axis=0))
+    assert (norms <= 2.0 + 1e-12).all()
+
+
+@pytest.mark.parametrize(
+    "scaling_type", [ScalingType.Nominal, ScalingType.GradJac, ScalingType.KKT]
+)
+def test_scaled_solve(scaling_type):
+    inst = hs71_constrained_instance()
+    params = Params(
+        scaling_type=scaling_type,
+        scaling_primal=inst.x_0,
+        scaling_dual=np.array([1.0, 1.0]),
+    )
+    solver = Solver(inst.problem, params)
+    result = solver.solve(inst.x_0, inst.y_0)
+    assert result.success
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-5)
+    np.testing.assert_allclose(result.y, inst.y_opt, atol=1e-5)
+
+
+def test_custom_scaling():
+    inst = rosenbrock_instance()
+    scaling = Scaling(np.array([2, -1]), np.zeros(0, dtype=int))
+    params = Params(scaling_type=ScalingType.Custom, scaling=scaling)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.success
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-5)
+
+
+def test_custom_step_solver_injection():
+    """params.step_solver injects a custom StepSolverDef factory
+    (reference tests/.../test_solver.py:43-76)."""
+    from pygradflow_tpu.step.solvers import _symmetric_def
+    from pygradflow_tpu.linalg import linear_solver
+    from pygradflow_tpu.params import LinearSolverType
+
+    calls = []
+
+    def custom(params):
+        lin = linear_solver(LinearSolverType.LU, symmetric=True)
+        base = _symmetric_def(lin, False, False)
+
+        def factor(*args, **kw):
+            calls.append(1)
+            return base.factor(*args, **kw)
+
+        return base._replace(factor=factor)
+
+    inst = rosenbrock_instance()
+    params = Params(step_solver=custom)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.success
+    assert calls  # the injected solver was actually used (at trace time)
