@@ -1,0 +1,100 @@
+"""ODE/event engine tests (mirror of reference
+``tests/pygradflow/integration/test_integration_solver.py``)."""
+
+import numpy as np
+import pytest
+
+from pygradflow_tpu import Params, SolverStatus
+from pygradflow_tpu.integration import IntegrationSolver
+from pygradflow_tpu.problem import Problem
+
+from tests.problems import hs71_instance, tame_instance
+
+
+@pytest.fixture
+def integration_params():
+    return Params(iteration_limit=1000, rho=1e-2)
+
+
+class SimpleProblem(Problem):
+    def __init__(self):
+        super().__init__(np.array([-np.inf]), np.array([np.inf]))
+
+    def obj(self, x):
+        return 0.5 * x[0] ** 2
+
+
+def test_simple_problem(integration_params):
+    result = IntegrationSolver(SimpleProblem(), integration_params).solve(
+        np.array([10.0]), np.array([])
+    )
+    assert result.status == SolverStatus.Optimal
+
+
+class SimpleUnboundedProblem(Problem):
+    def __init__(self):
+        super().__init__(np.array([-np.inf]), np.array([np.inf]))
+
+    def obj(self, x):
+        return x[0]
+
+
+def test_simple_unbounded(integration_params):
+    result = IntegrationSolver(
+        SimpleUnboundedProblem(), integration_params
+    ).solve(np.array([0.0]), np.array([]))
+    assert result.status == SolverStatus.Unbounded
+
+
+class ActiveSetChangeProblem(Problem):
+    def __init__(self):
+        super().__init__(np.array([1.0]), np.array([np.inf]))
+
+    def obj(self, x):
+        return 0.5 * x[0] ** 2
+
+
+def test_solve_active_set_change(integration_params):
+    result = IntegrationSolver(
+        ActiveSetChangeProblem(), integration_params
+    ).solve(np.array([10.0]), np.array([]))
+    assert result.success
+    np.testing.assert_allclose(result.x, 1.0, atol=1e-8)
+
+
+class SingleActiveSetProblem(Problem):
+    def __init__(self):
+        super().__init__(np.array([1.0, -np.inf]), np.array([np.inf, np.inf]))
+
+    def obj(self, z):
+        import jax.numpy as jnp
+
+        return 0.5 * jnp.dot(z, z)
+
+
+def test_solve_single_active_set(integration_params):
+    result = IntegrationSolver(
+        SingleActiveSetProblem(), integration_params
+    ).solve(np.array([1.5, 10.0]), np.array([]))
+    assert result.success
+    np.testing.assert_allclose(result.x, np.array([1.0, 0.0]), atol=1e-6)
+
+
+def test_solve_tame(integration_params):
+    inst = tame_instance()
+    result = IntegrationSolver(inst.problem, integration_params).solve(
+        inst.x_0, inst.y_0
+    )
+    assert result.success
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-6)
+    np.testing.assert_allclose(result.y, inst.y_opt, atol=1e-6)
+
+
+def test_solve_hs71(integration_params):
+    inst = hs71_instance()
+    result = IntegrationSolver(inst.problem, integration_params).solve(
+        inst.x_0, inst.y_0
+    )
+    assert result.success
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-6)
+    np.testing.assert_allclose(result.y, inst.y_opt, atol=1e-6)
