@@ -95,15 +95,28 @@ def _ldlt() -> LinearSolver:
 
 
 def _pallas_ldlt() -> LinearSolver:
-    from .pallas_ldlt import pallas_ldlt_factor
+    """Mixed-precision tier: blocked f32 LDL^T in a VMEM-resident Pallas
+    kernel + f64 iterative refinement (TPU Mosaic has no f64).  Falls back
+    to Pallas interpret mode off-TPU so tests run on CPU."""
+    import jax as _jax
+
+    from .pallas_ldlt import pallas_ldlt_factor_f32, refine_solve
+
+    interpret = _jax.default_backend() not in ("tpu", "axon")
 
     def factor(mat):
-        return pallas_ldlt_factor(mat)
+        packed = pallas_ldlt_factor_f32(mat, interpret=interpret)
+        return (packed, mat)
 
     def solve(fact, rhs, initial_sol=None):
-        return ldlt_solve(fact, rhs)
+        packed, mat = fact
+        return refine_solve(packed, mat, rhs)
 
-    return LinearSolver(factor, solve, solve, ldlt_num_neg_eigvals, "pallas_ldlt")
+    def num_neg(fact):
+        packed, _ = fact
+        return ldlt_num_neg_eigvals(packed)
+
+    return LinearSolver(factor, solve, solve, num_neg, "pallas_ldlt")
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: blocked LDL^T factorization resident in VMEM.
+
+The blocked algorithm of ``blocked_ldlt.py`` (panel rank-1 sweeps + MXU
+trailing updates) with the whole matrix pinned in VMEM for the entire
+factorization — no HBM round-trips between panels.  Mosaic constraints
+shape the implementation:
+
+- f32 only (TPU Mosaic has no f64): the factor is computed in f32 and
+  solves reach f64 accuracy through iterative refinement against the f64
+  matrix (classic mixed-precision: the MXU does the O(n^3) work in f32,
+  the VPU the O(n^2) refinement in emulated f64).
+- no ``lax.dynamic_slice`` on values: the within-panel column extraction
+  uses one-hot contractions, panel offsets are static (the panel loop is
+  unrolled in Python).
+
+Maps the reference's GPU-capable native factorization (SPRAL SSIDS,
+``linear_solver/ssids_solver.py``) to TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BLOCK = 128
+
+
+def _factor_body(a, n, block):
+    """Blocked LDL^T on an (n, n) f32 value; returns the packed factor."""
+    num_panels = n // block
+    # all index math in int32: fori_loop counters are i32 and Mosaic
+    # rejects mixed i32/i64 arithmetic (x64 mode makes arange i64)
+    row_idx = jnp.arange(n, dtype=jnp.int32)[:, None]  # (n, 1)
+    col_idx = jnp.arange(block, dtype=jnp.int32)[None, :]  # (1, NB)
+
+    for p in range(num_panels):  # static unroll
+        base = p * block
+
+        panel0 = jax.lax.slice(a, (0, base), (n, base + block))
+
+        # shifted row index: row (base + j) of the matrix is shifted row j
+        shifted_rows = row_idx - base  # int32 (n, 1)
+
+        def col_body(j, panel):
+            # strictly rank-2 shapes throughout: Mosaic's layout engine
+            # rejects 1-D reductions ("Offset change")
+            onehot_col = (col_idx == j).astype(panel.dtype)  # (1, NB)
+            onehot_row = (shifted_rows == j).astype(panel.dtype)  # (n, 1)
+
+            # one-hot extractions as multiply-reduce (Mosaic rejects 1-D dots)
+            colj = jnp.sum(panel * onehot_col, axis=1, keepdims=True)  # (n, 1)
+            d = jnp.sum(colj * onehot_row, axis=0, keepdims=True)  # (1, 1)
+            inv = jnp.where(
+                d != 0.0, 1.0 / d, jnp.asarray(jnp.nan, panel.dtype)
+            )  # (1, 1)
+
+            below = (shifted_rows > j).astype(panel.dtype)  # (n, 1)
+            l_col = colj * inv * below  # (n, 1) L column
+
+            rowk = jnp.sum(panel * onehot_row, axis=0, keepdims=True)  # (1, NB)
+            right = (col_idx > j).astype(panel.dtype)  # (1, NB)
+            u_row = rowk * right  # (1, NB) remaining panel columns
+
+            panel = panel - l_col * u_row  # rank-1 update (broadcast outer)
+            # write the L column into column j
+            keep = 1.0 - onehot_col * below
+            panel = panel * keep + l_col * onehot_col
+            return panel
+
+        panel = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(block), col_body, panel0
+        )  # i32 bounds: x64 would make the counter i64, which Mosaic rejects
+
+        # static reassembly (Mosaic has no dynamic_update_slice); skip
+        # empty pieces — Mosaic rejects zero-size vectors
+        pieces = []
+        if base > 0:
+            pieces.append(a[:, :base])
+        pieces.append(panel)
+        if base + block < n:
+            pieces.append(a[:, base + block :])
+        a = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else panel
+
+        # trailing Schur update (MXU): A -= L_panel D L_panel^T on rows and
+        # columns >= base + block
+        diag_mask = (row_idx == (col_idx + base)).astype(a.dtype)  # (n, NB)
+        dvec = jnp.sum(panel * diag_mask, axis=0, keepdims=True)  # (1, NB)
+
+        trailing = (row_idx >= base + block).astype(a.dtype)  # (n, 1)
+        lpanel = panel * trailing
+
+        upd = jax.lax.dot_general(
+            lpanel * dvec,
+            lpanel,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a = a - upd
+
+    return a
+
+
+def _kernel(a_ref, out_ref, *, n, block):
+    out_ref[:] = _factor_body(a_ref[:], n, block)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_ldlt_factor_f32(mat, block: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Factor an (n, n) (or batched (B, n, n)) f32 matrix; n is padded to a
+    multiple of ``block`` with identity."""
+    from jax.experimental import pallas as pl
+
+    mat = mat.astype(jnp.float32)
+    batched = mat.ndim == 3
+
+    n = mat.shape[-1]
+    num_panels = -(-n // block)
+    n_pad = num_panels * block
+    if n_pad != n:
+        shape = mat.shape[:-2] + (n_pad, n_pad)
+        eye = jnp.broadcast_to(jnp.eye(n_pad, dtype=jnp.float32), shape)
+        mat = eye.at[..., :n, :n].set(mat)
+
+    kernel = functools.partial(_kernel, n=n_pad, block=block)
+
+    # grid-free 2-D kernel (this Mosaic rejects gridded rank-3 blocks);
+    # batching is a vmap over the pallas_call
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+    out = jax.vmap(call)(mat) if batched else call(mat)
+
+    if n_pad != n:
+        out = out[..., :n, :n]
+    return out
+
+
+def refine_solve(packed_f32, mat_f64, rhs, iters: int = 3):
+    """Mixed-precision solve: f32 LDL^T back-solves + f64 residual
+    refinement against the original matrix."""
+    from .ldlt import ldlt_solve
+
+    def solve32(r):
+        return ldlt_solve(packed_f32, r.astype(jnp.float32)).astype(rhs.dtype)
+
+    x = solve32(rhs)
+
+    def body(_, x):
+        r = rhs - mat_f64 @ x
+        return x + solve32(r)
+
+    return jax.lax.fori_loop(0, iters, body, x)

@@ -29,7 +29,23 @@ class MPSData(NamedTuple):
     row_names: list
 
 
-def parse_mps(path: str) -> MPSData:
+def parse_mps(path: str, native: bool = True) -> MPSData:
+    if native:
+        try:
+            from ..native import parse_mps_native
+
+            data = parse_mps_native(path)
+            if data is not None:
+                return data
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # fall back to the Python parser
+
+    return parse_mps_py(path)
+
+
+def parse_mps_py(path: str) -> MPSData:
     name = ""
     section = None
 

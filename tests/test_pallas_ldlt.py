@@ -1,0 +1,79 @@
+"""Pallas blocked-LDL^T kernel tests (interpret mode on CPU; the compiled
+path is exercised on TPU by the benchmark)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygradflow_tpu.linalg.blocked_ldlt import ldlt_factor_blocked
+from pygradflow_tpu.linalg.ldlt import (
+    ldlt_factor,
+    ldlt_num_neg_eigvals,
+    ldlt_solve,
+)
+from pygradflow_tpu.linalg.pallas_ldlt import pallas_ldlt_factor_f32, refine_solve
+
+rng = np.random.default_rng(7)
+
+
+def _saddle(n, m):
+    H = rng.standard_normal((n, n))
+    K = H @ H.T + n * np.eye(n)
+    J = rng.standard_normal((m, n))
+    return np.block([[K, J.T], [J, -0.1 * np.eye(m)]])
+
+
+@pytest.mark.parametrize("n,m", [(40, 12), (100, 28)])
+def test_blocked_matches_unblocked(n, m):
+    A = _saddle(n, m)
+    f_blocked = np.asarray(ldlt_factor_blocked(jnp.asarray(A), block=32))
+    f_ref = np.asarray(ldlt_factor(jnp.asarray(A)))
+    # only the lower triangle + diagonal are defined (the strict upper
+    # triangle holds algorithm-dependent leftovers in both variants)
+    np.testing.assert_allclose(
+        np.tril(f_blocked), np.tril(f_ref), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_pallas_interpret_factor_and_refine():
+    A = _saddle(96, 32)
+    packed = pallas_ldlt_factor_f32(jnp.asarray(A), interpret=True)
+
+    b = rng.standard_normal(A.shape[0])
+    x = np.asarray(refine_solve(packed, jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(A @ x, b, atol=1e-9)
+
+    assert int(ldlt_num_neg_eigvals(packed)) == 32
+
+
+def test_pallas_interpret_batched():
+    A = _saddle(60, 20)
+    batch = jnp.stack([jnp.asarray(A), jnp.asarray(A + 0.5 * np.eye(80))])
+    packed = pallas_ldlt_factor_f32(batch, interpret=True)
+    assert packed.shape[0] == 2
+
+    b = jnp.asarray(rng.standard_normal(80))
+    for i, Ai in enumerate([A, A + 0.5 * np.eye(80)]):
+        # padded factors: solve on the padded shape then truncate
+        n_pad = packed.shape[-1]
+        Aj = np.eye(n_pad)
+        Aj[:80, :80] = Ai
+        x = np.asarray(
+            refine_solve(
+                packed[i], jnp.asarray(Aj), jnp.concatenate([b, jnp.zeros(n_pad - 80)])
+            )
+        )[:80]
+        np.testing.assert_allclose(Ai @ x, np.asarray(b), atol=1e-8)
+
+
+def test_pallas_linear_solver_tier():
+    from pygradflow_tpu.linalg import linear_solver
+    from pygradflow_tpu.params import LinearSolverType
+
+    lin = linear_solver(LinearSolverType.PallasLDLT, symmetric=True)
+    A = _saddle(50, 14)
+    fact = lin.factor(jnp.asarray(A))
+    b = rng.standard_normal(64)
+    x = np.asarray(lin.solve(fact, jnp.asarray(b)))
+    np.testing.assert_allclose(A @ x, b, atol=1e-8)
+    assert int(lin.num_neg_eigvals(fact)) == 14

@@ -114,3 +114,27 @@ def test_qp_runner_instances():
         Q @ result.x + c + A.T @ result.y, 0.0, atol=1e-6
     )
     np.testing.assert_allclose(A @ result.x, problem.cons_lb, atol=1e-6)
+
+
+def test_mps_native_matches_python(tmp_path):
+    """The C++ reader must produce identical data to the Python parser."""
+    from pygradflow_tpu.native import available, parse_mps_native
+    from pygradflow_tpu.runners.mps import parse_mps_py
+
+    if not available():
+        pytest.skip("native MPS reader not built")
+
+    path = tmp_path / "sample.mps"
+    path.write_text(MPS_SAMPLE)
+
+    d_native = parse_mps_native(str(path))
+    d_py = parse_mps_py(str(path))
+
+    assert d_native.name == d_py.name
+    np.testing.assert_array_equal(d_native.c, d_py.c)
+    np.testing.assert_array_equal(d_native.A, d_py.A)
+    np.testing.assert_array_equal(d_native.cons_lb, d_py.cons_lb)
+    np.testing.assert_array_equal(d_native.cons_ub, d_py.cons_ub)
+    np.testing.assert_array_equal(d_native.var_lb, d_py.var_lb)
+    np.testing.assert_array_equal(d_native.var_ub, d_py.var_ub)
+    assert d_native.obj_offset == d_py.obj_offset
