@@ -305,14 +305,17 @@ class SolveLoop:
 
         return jax.lax.while_loop(cond, self.body, state)
 
-    def run(self, state: LoopState, timer: Timer) -> LoopState:
-        """Drive chunks until a terminal status or the time limit."""
+    def run(self, state: LoopState, timer: Timer, ckpt=None) -> LoopState:
+        """Drive chunks until a terminal status or the time limit,
+        optionally checkpointing at chunk boundaries."""
         chunk = self.params.jit_chunk
         while True:
             chunk_end = state.iteration + chunk
             state = self._run_chunk(state, chunk_end)
             if int(state.status) != RUNNING:
                 return state
+            if ckpt is not None:
+                ckpt.maybe_save(state)
             if timer.reached_time_limit():
                 return state._replace(
                     status=jnp.asarray(int(SolverStatus.TimeLimit), jnp.int32)
@@ -355,7 +358,12 @@ class Solver:
         d = bounds_dual(it, loop.lb, loop.ub, params.active_tol)
         return self.transform.restore_sol(it.x, it.y, d)
 
-    def solve(self, x0=None, y0=None) -> SolverResult:
+    def solve(
+        self, x0=None, y0=None, checkpoint_path=None, resume=False
+    ) -> SolverResult:
+        """Solve the problem.  With ``checkpoint_path`` the homotopy state
+        is snapshotted at every jit-chunk boundary; ``resume=True`` picks up
+        from an existing snapshot (bitwise-identical continuation)."""
         params = self.params
         loop = self._loop
 
@@ -373,7 +381,16 @@ class Solver:
 
         timer = Timer(params.time_limit)
         state0 = loop.init_state(x, y)
-        state = loop.run(state0, timer)
+
+        ckpt = None
+        if checkpoint_path is not None:
+            from .checkpoint import CheckpointManager
+
+            ckpt = CheckpointManager(checkpoint_path)
+            if resume and ckpt.exists():
+                state0 = ckpt.restore(state0)
+
+        state = loop.run(state0, timer, ckpt)
 
         total_time = timer.elapsed()
 

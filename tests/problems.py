@@ -169,3 +169,20 @@ def tame_instance():
         np.array([0.5, 0.5]),
         np.array([0.0]),
     )
+
+
+class ConstrainedRosenbrock(Problem):
+    """Box + equality constrained Rosenbrock (BASELINE config #2): the
+    unconstrained optimum (1, 1) is cut off by the box ub and a linear
+    equality, forcing active-set changes along the homotopy path."""
+
+    def __init__(self):
+        super().__init__(
+            np.array([-1.5, -0.5]), np.array([0.8, 2.0]), num_cons=1
+        )
+
+    def obj(self, v):
+        return (1.0 - v[0]) ** 2 + 100.0 * (v[1] - v[0] ** 2) ** 2
+
+    def cons(self, v):
+        return jnp.array([v[0] + v[1] - 1.0])
