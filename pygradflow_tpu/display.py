@@ -112,6 +112,21 @@ def solver_display(num_cons: int, params) -> Display:
     return Display(cols, interval=params.display_interval)
 
 
+def integrator_display(num_cons: int, params) -> Display:
+    """Layout of the continuous-flow engine's progress rows (reference
+    ``display.py:289-304``)."""
+    cols = [
+        Column("iter", 6, "{:>{w}d}"),
+        Column("t", 14, "{:{w}.6e}"),
+        Column("obj", 16, "{:{w}.8e}"),
+        Column("res", 14, "{:{w}.6e}"),
+        Column("rho", 12, "{:{w}.4e}"),
+        Column("steps", 8, "{:>{w}d}"),
+        Column("free", 6, "{:>{w}d}"),
+    ]
+    return Display(cols, interval=params.display_interval)
+
+
 def print_problem_stats(problem, num_vars, num_cons):
     """Problem statistics banner (reference ``display.py:318-372``)."""
     logger.info("Solving problem with %d variables and %d constraints", num_vars, num_cons)

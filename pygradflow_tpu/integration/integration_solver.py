@@ -19,7 +19,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..display import print_problem_stats
+from ..display import integrator_display, print_problem_stats
 from ..eval import validate_fns
 from ..iterate import bounds_dual, evaluate_iterate, is_feasible, locally_infeasible
 from ..log import logger
@@ -115,6 +115,7 @@ class IntegrationSolver:
 
         timer = Timer(params.time_limit)
         iteration_limit = params.iteration_limit or params.iteration_limit_default
+        display = integrator_display(self.ctx.m, params) if params.display else None
 
         while True:
             res = float(fl.residuum(self.ctx, z, filter))
@@ -151,6 +152,19 @@ class IntegrationSolver:
 
             seg_status = int(seg.status)
             iteration += 1
+
+            if display is not None and display.should_display():
+                display.row(
+                    dict(
+                        iter=iteration,
+                        t=float(seg.t),
+                        obj=float(fl.obj(self.ctx, seg.z)),
+                        res=float(fl.residuum(self.ctx, seg.z, filter)),
+                        rho=rho,
+                        steps=int(seg.num_steps),
+                        free=int(np.asarray(filter).sum()),
+                    )
+                )
 
             if seg_status == 2:
                 # integrator breakdown: treat as a failed solve

@@ -207,6 +207,11 @@ class Params:
     """Hard cap used when ``iteration_limit`` is None (lax.while_loop still
     terminates on convergence; this only bounds the path buffer)."""
 
+    profile_dir: Optional[str] = None
+    """When set, the solve runs under ``jax.profiler.trace`` writing a
+    TensorBoard-compatible trace to this directory (the reference has no
+    profiling beyond wall-clock timers, SURVEY §5)."""
+
     newton_max_it: int = 10
     """Maximum inner Newton iterations of the Exact controller."""
 

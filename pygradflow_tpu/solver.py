@@ -390,7 +390,13 @@ class Solver:
             if resume and ckpt.exists():
                 state0 = ckpt.restore(state0)
 
-        state = loop.run(state0, timer, ckpt)
+        if params.profile_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(params.profile_dir):
+                state = loop.run(state0, timer, ckpt)
+        else:
+            state = loop.run(state0, timer, ckpt)
 
         total_time = timer.elapsed()
 
