@@ -8,8 +8,11 @@ same matrices when scipy is available.
 Usage: python benchmarks/bench_kkt.py [sizes...]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 
-from .eval import Counters, Fns
+from .eval import Fns
 from .util import inf_norm, norm_mult
 
 

@@ -9,7 +9,7 @@ filters must be bounded to stay jit-able) and path-collection capacity.
 
 import dataclasses
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum, Flag, auto
 from typing import Any, Callable, Optional
 
@@ -50,6 +50,10 @@ class StepSolverType(Enum):
     """Scaled symmetric saddle-point formulation (supports inertia correction)."""
     Asymmetric = auto()
     """Scaled full-size formulation with identity rows for active variables."""
+    Schur = auto()
+    """Block-structured formulation: block-diagonal Hessian elimination with
+    a dense dual Schur complement (requires ``schur_block_size``); no
+    reference counterpart — SURVEY §7.5c."""
 
 
 class LinearSolverType(Enum):
@@ -92,13 +96,11 @@ class PenaltyUpdate(Enum):
 
 
 class Precision(Enum):
-    """Floating point precision used in all calculations."""
+    """Floating point precision used in all calculations
+    (reference ``params.py:131-143``)."""
 
     Single = auto()
     Double = auto()
-
-    HalfBF16 = auto()
-    """bfloat16 compute with float32 accumulation (TPU experimental tier)."""
 
 
 class DerivCheck(Flag):
@@ -206,6 +208,10 @@ class Params:
     iteration_limit_default: int = 10_000
     """Hard cap used when ``iteration_limit`` is None (lax.while_loop still
     terminates on convergence; this only bounds the path buffer)."""
+
+    schur_block_size: Optional[int] = None
+    """Hessian block size for StepSolverType.Schur: the (transformed)
+    Hessian must be block diagonal with contiguous blocks of this size."""
 
     profile_dir: Optional[str] = None
     """When set, the solve runs under ``jax.profiler.trace`` writing a

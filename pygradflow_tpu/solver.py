@@ -17,7 +17,7 @@ The same loop body is reused by the batched/sharded frontends
 """
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from .iterate import (
 from .log import logger
 from .params import Params, PenaltyUpdate
 from .penalty import penalty_strategy
-from .problem import Problem
+from .problem import Problem  # noqa: F401  (re-export)
 from .result import SolverResult
 from .status import RUNNING, SolverStatus
 from .step.control import compute_step, make_control_cfg, make_controller

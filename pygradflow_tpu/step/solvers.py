@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .. import implicit_func as impl
 from ..iterate import Iterate
 from ..linalg import LinearSolver, linear_solver
-from ..params import LinearSolverType, Params, StepSolverType
+from ..params import Params, StepSolverType
 from ..util import norm_mult
 
 
@@ -120,6 +120,15 @@ def step_solver_def(params: Params) -> StepSolverDef:
         return params.step_solver(params)
 
     solver_type = params.step_solver_type
+
+    if solver_type == StepSolverType.Schur:
+        from .schur import schur_def
+
+        assert params.schur_block_size is not None, (
+            "StepSolverType.Schur requires params.schur_block_size"
+        )
+        return schur_def(None, params.report_rcond, params.schur_block_size)
+
     lin: LinearSolver = linear_solver(
         params.linear_solver_type,
         symmetric=(solver_type == StepSolverType.Symmetric),
