@@ -94,18 +94,29 @@ def _ldlt() -> LinearSolver:
     return LinearSolver(factor, solve, solve, ldlt_num_neg_eigvals, "ldlt")
 
 
+# the whole matrix must fit in VMEM (~16 MB/core) next to a panel and the
+# output: 1280^2 f32 = 6.6 MB is a safe ceiling
+PALLAS_MAX_N = 1280
+
+
 def _pallas_ldlt() -> LinearSolver:
     """Mixed-precision tier: blocked f32 LDL^T in a VMEM-resident Pallas
     kernel + f64 iterative refinement (TPU Mosaic has no f64).  Falls back
-    to Pallas interpret mode off-TPU so tests run on CPU."""
+    to Pallas interpret mode off-TPU so tests run on CPU, and to the
+    XLA-blocked f32 factorization when the matrix exceeds VMEM."""
     import jax as _jax
+    import jax.numpy as _jnp
 
+    from .blocked_ldlt import ldlt_factor_blocked
     from .pallas_ldlt import pallas_ldlt_factor_f32, refine_solve
 
     interpret = _jax.default_backend() not in ("tpu", "axon")
 
     def factor(mat):
-        packed = pallas_ldlt_factor_f32(mat, interpret=interpret)
+        if mat.shape[-1] > PALLAS_MAX_N:
+            packed = ldlt_factor_blocked(mat.astype(_jnp.float32))
+        else:
+            packed = pallas_ldlt_factor_f32(mat, interpret=interpret)
         return (packed, mat)
 
     def solve(fact, rhs, initial_sol=None):

@@ -48,17 +48,25 @@ def ldlt_factor(mat):
 def ldlt_solve(fact, rhs):
     """Solve ``L D L^T x = rhs`` from the packed factor.
 
-    Uses the pure-JAX substitution sweeps from ``plu.py`` (XLA's builtin
-    TriangularSolve is not relied on, for f64-on-TPU portability)."""
-    from .plu import _back_sub_unit_T, _fwd_sub_unit
+    ``rhs`` may be a vector ``(..., n)`` or a matrix ``(..., k, n)`` of k
+    independent right-hand sides (system dimension LAST either way).
+    Implemented with XLA's blocked TriangularSolve (f64-supported on TPU,
+    unlike LuDecomposition), which is much faster than sequential
+    substitution sweeps for large n."""
+    import jax.scipy.linalg as jsl
 
     n = fact.shape[-1]
     lower = jnp.tril(fact, k=-1) + jnp.eye(n, dtype=fact.dtype)
     d = jnp.diagonal(fact, axis1=-2, axis2=-1)
 
-    z = _fwd_sub_unit(lower, rhs)
-    z = z / d
-    return _back_sub_unit_T(lower, z)
+    vector = rhs.ndim == fact.ndim - 1
+    b = rhs[..., None] if vector else jnp.swapaxes(rhs, -1, -2)  # (..., n, k)
+
+    z = jsl.solve_triangular(lower, b, lower=True, unit_diagonal=True)
+    z = z / d[..., :, None]
+    x = jsl.solve_triangular(lower, z, trans=1, lower=True, unit_diagonal=True)
+
+    return x[..., 0] if vector else jnp.swapaxes(x, -1, -2)
 
 
 def ldlt_num_neg_eigvals(fact):

@@ -151,18 +151,24 @@ def _fwd_sub_T(U, b):
 
 
 def plu_solve(fact: PLUFactorization, rhs):
-    """Solve A x = rhs from the packed factorization."""
+    """Solve A x = rhs from the packed factorization (blocked XLA
+    TriangularSolve; f64-supported on TPU)."""
+    import jax.scipy.linalg as jsl
+
     lower, upper = _unpack(fact)
     b = jnp.take_along_axis(rhs, fact.perm, axis=-1)
-    z = _fwd_sub_unit(lower, b)
-    return _back_sub(upper, z)
+    z = jsl.solve_triangular(lower, b[..., None], lower=True, unit_diagonal=True)
+    x = jsl.solve_triangular(upper, z, lower=False)
+    return x[..., 0]
 
 
 def plu_solve_trans(fact: PLUFactorization, rhs):
     """Solve A^T x = rhs: U^T L^T P x = rhs."""
+    import jax.scipy.linalg as jsl
+
     lower, upper = _unpack(fact)
-    z = _fwd_sub_T(upper, rhs)
-    y = _back_sub_unit_T(lower, z)
+    z = jsl.solve_triangular(upper, rhs[..., None], trans=1, lower=False)
+    y = jsl.solve_triangular(lower, z, trans=1, lower=True, unit_diagonal=True)[..., 0]
     # x = P^T y: scatter back through the permutation
     n = y.shape[-1]
     perm = fact.perm
