@@ -30,13 +30,17 @@ def make_starts(batch):
 def run_ours(x0s):
     import jax
 
-    from pygradflow_tpu import Params
+    from pygradflow_tpu import LinearSolverType, Params
     from pygradflow_tpu.parallel import BatchedSolver
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from problems import Rosenbrock
 
-    params = Params(validate_input=False)
+    params = Params(
+        validate_input=False,
+        linear_solver_type=LinearSolverType[os.environ.get("BENCH_LINSOLVER", "LU")],
+        jit_chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+    )
     solver = BatchedSolver(Rosenbrock(), params)
 
     # warmup: populate compile caches with the same shapes

@@ -5,12 +5,13 @@ from the ``Params`` annotations, instance filtering (``--max_size``,
 ``--name``, ``--unconstrained``), per-run ``params.yml`` + ``output.csv``
 with identical columns (``runner.py:303-316``), per-instance log files.
 
-Execution modes differ by design: the reference fans instances out over OS
+Execution mode differs by design: the reference fans instances out over OS
 processes (``runner.py:107-153``); on TPU a process pool would fight over
-one accelerator, so the modes are ``sequential`` (one jit-compiled solve
-per instance) and ``--batched`` (instances of the same family swept in
-lockstep by the vmapped BatchedSolver — the TPU-native analog of the
-process pool).
+one accelerator, so the runner solves sequentially (one jit-compiled solve
+per instance) — instance-sweep parallelism lives in
+``pygradflow_tpu.parallel.BatchedSolver``/``ShardedSolver``, which vmap a
+*family* of same-structure instances in lockstep (the TPU-native analog of
+the reference's process pool; see ``benchmarks/bench_hs.py``).
 """
 
 import csv
@@ -146,11 +147,6 @@ class Runner(ABC):
         parser.add_argument("--name", type=str)
         parser.add_argument("--unconstrained", action="store_true")
         parser.add_argument("--verbose", action="store_true")
-        parser.add_argument(
-            "--batched",
-            action="store_true",
-            help="sweep batchable instance families with the vmapped solver",
-        )
         return parser
 
     def output_filename(self, args, filename):

@@ -90,3 +90,23 @@ def test_sharded_matches_batched():
     assert sharded.success.all()
     np.testing.assert_allclose(sharded.x, batched.x, rtol=1e-12)
     np.testing.assert_array_equal(sharded.iterations, batched.iterations)
+
+
+def test_sharded_parametric():
+    """Sharded + per-instance data (scenario sweep over the mesh)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    problem = ParamRosenbrock()
+    B = 8
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, B))
+    b = jnp.asarray(rng.uniform(10.0, 100.0, B))
+    x0s = np.zeros((B, 2))
+
+    res = ShardedSolver(problem, Params()).solve(x0s, data=(a, b))
+    assert res.success.all()
+    expect = np.stack([np.asarray(a), np.asarray(a) ** 2], axis=1)
+    np.testing.assert_allclose(res.x, expect, atol=1e-5)
