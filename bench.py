@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 BASELINE_SAMPLE = int(os.environ.get("BENCH_BASELINE_SAMPLE", 16))
 SEED = 0
 

@@ -103,6 +103,7 @@ def solver_display(num_cons: int, params) -> Display:
     cols += [
         Column("stat_res", 16, "{:{w}.8e}"),
         Column("active", 8, "{:>{w}d}"),
+        Column("obj_nonlin", 12, "{:{w}.4e}"),
         Column("|dx|", 16, "{:{w}.8e}"),
         Column("|dy|", 16, "{:{w}.8e}"),
         Column("lamb", 12, "{:{w}.4e}"),

@@ -42,6 +42,11 @@ def ldlt_factor(mat):
         a = a.at[..., :, k].set(jnp.where(below, col, a[..., :, k]))
         return a
 
+    if n <= 16:  # static unroll for tiny batched systems (see plu.py)
+        a = mat
+        for k in range(n):
+            a = body(k, a)
+        return a
     return jax.lax.fori_loop(0, n, body, mat)
 
 

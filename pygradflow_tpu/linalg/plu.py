@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 
+UNROLL_MAX_N = 16
+
+
 class PLUFactorization(NamedTuple):
     lu: jnp.ndarray  # packed: strict lower = L (unit diag), upper = U
     perm: jnp.ndarray  # row permutation: row i of PA is row perm[i] of A
@@ -76,7 +79,17 @@ def plu_factor(mat) -> PLUFactorization:
     # under shard_map (a freshly created constant would be replicated and
     # fail the while-loop carry type check)
     perm0 = perm0 + jnp.zeros_like(mat[..., 0], dtype=jnp.int32)
-    lu, perm = jax.lax.fori_loop(0, n, body, (mat, perm0))
+
+    if n <= UNROLL_MAX_N:
+        # tiny systems (vmap-batched KKT of small NLPs): a static unroll
+        # fuses into the surrounding computation instead of a sequential
+        # while-loop of launches
+        carry = (mat, perm0)
+        for k in range(n):
+            carry = body(k, carry)
+        lu, perm = carry
+    else:
+        lu, perm = jax.lax.fori_loop(0, n, body, (mat, perm0))
     return PLUFactorization(lu=lu, perm=perm)
 
 

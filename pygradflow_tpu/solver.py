@@ -248,6 +248,8 @@ class SolveLoop:
             return
 
         it = state.it
+        from .iterate import obj_nonlin
+
         payload = dict(
             iter=state.iteration + 1,
             aug_lag=aug_lag(it, state.rho),
@@ -255,6 +257,7 @@ class SolveLoop:
             cons_viol=cons_violation(it),
             stat_res=stat_res(it, self.lb, self.ub, params.active_tol),
             active=jnp.sum(ctrl.active_set.astype(jnp.int32)),
+            obj_nonlin=obj_nonlin(it, ctrl.iterate),
             dx=primal_step,
             dy=dual_step,
             lamb=state_n.lamb,
