@@ -271,6 +271,97 @@ HS_SPECS = [
         x_opt=_a(1.0, 4.74299964, 3.82114998, 1.37940829),
         f_opt=17.0140173,
     ),
+    HSSpec(
+        name="hs9",
+        obj=lambda x: jnp.sin(jnp.pi * x[0] / 12.0) * jnp.cos(jnp.pi * x[1] / 16.0),
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(0.0, 0.0),
+        cons=lambda x: jnp.array([4.0 * x[0] - 3.0 * x[1]]),
+        num_eq_cons=1,
+        x_opt=_a(-3.0, -4.0),
+        f_opt=-0.5,
+    ),
+    HSSpec(
+        name="hs10",
+        obj=lambda x: x[0] - x[1],
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(-10.0, 10.0),
+        cons=lambda x: jnp.array(
+            [-3.0 * x[0] ** 2 + 2.0 * x[0] * x[1] - x[1] ** 2 + 1.0]
+        ),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(0.0, 1.0),
+        f_opt=-1.0,
+    ),
+    HSSpec(
+        name="hs26",
+        obj=lambda x: (x[0] - x[1]) ** 2 + (x[1] - x[2]) ** 4,
+        var_lb=_a(-INF, -INF, -INF),
+        var_ub=_a(INF, INF, INF),
+        x0=_a(-2.6, 2.0, 2.0),
+        cons=lambda x: jnp.array(
+            [(1.0 + x[1] ** 2) * x[0] + x[2] ** 4 - 3.0]
+        ),
+        num_eq_cons=1,
+        x_opt=_a(1.0, 1.0, 1.0),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs27",
+        obj=lambda x: 0.01 * (x[0] - 1.0) ** 2 + (x[1] - x[0] ** 2) ** 2,
+        var_lb=_a(-INF, -INF, -INF),
+        var_ub=_a(INF, INF, INF),
+        x0=_a(2.0, 2.0, 2.0),
+        cons=lambda x: jnp.array([x[0] + x[2] ** 2 + 1.0]),
+        num_eq_cons=1,
+        x_opt=_a(-1.0, 1.0, 0.0),
+        f_opt=0.04,
+    ),
+    HSSpec(
+        name="hs30",
+        obj=lambda x: x[0] ** 2 + x[1] ** 2 + x[2] ** 2,
+        var_lb=_a(1.0, -10.0, -10.0),
+        var_ub=_a(10.0, 10.0, 10.0),
+        x0=_a(1.0, 1.0, 1.0),
+        cons=lambda x: jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0]),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(1.0, 0.0, 0.0),
+        f_opt=1.0,
+    ),
+    HSSpec(
+        name="hs36",
+        obj=lambda x: -x[0] * x[1] * x[2],
+        var_lb=_a(0.0, 0.0, 0.0),
+        var_ub=_a(20.0, 11.0, 42.0),
+        x0=_a(10.0, 10.0, 10.0),
+        cons=lambda x: jnp.array([x[0] + 2.0 * x[1] + 2.0 * x[2]]),
+        cons_lb=_a(-INF),
+        cons_ub=_a(72.0),
+        x_opt=_a(20.0, 11.0, 15.0),
+        f_opt=-3300.0,
+    ),
+    HSSpec(
+        name="hs42",
+        obj=lambda x: (
+            (x[0] - 1.0) ** 2
+            + (x[1] - 2.0) ** 2
+            + (x[2] - 3.0) ** 2
+            + (x[3] - 4.0) ** 2
+        ),
+        var_lb=np.full(4, -INF),
+        var_ub=np.full(4, INF),
+        x0=np.ones(4),
+        cons=lambda x: jnp.array(
+            [x[0] - 2.0, x[2] ** 2 + x[3] ** 2 - 2.0]
+        ),
+        num_eq_cons=2,
+        x_opt=_a(2.0, 2.0, 0.6 * math.sqrt(2.0), 0.8 * math.sqrt(2.0)),
+        f_opt=28.0 - 10.0 * math.sqrt(2.0),
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

@@ -11,7 +11,10 @@ import pytest
 from pygradflow_tpu import Params, Solver
 
 
-HS_QUICK = ["hs3", "hs6", "hs21", "hs28", "hs35", "hs48", "hs51"]
+HS_QUICK = [
+    "hs3", "hs6", "hs9", "hs10", "hs21", "hs26", "hs27", "hs28", "hs30",
+    "hs35", "hs36", "hs42", "hs48", "hs51",
+]
 
 
 @pytest.mark.parametrize("name", HS_QUICK)
@@ -22,9 +25,10 @@ def test_hs_known_optimum(name):
     result = Solver(spec.problem(), Params()).solve(spec.x0)
     assert result.success, f"{name}: {result.status}"
     if spec.x_opt is not None:
-        # hs3 is nearly flat in x1 (1e-5 coefficient): the 1e-6 KKT
-        # tolerance admits points ~1e-2 from the minimizer
-        atol = 1e-1 if name == "hs3" else 1e-4
+        # hs3 is nearly flat in x1 (1e-5 coefficient) and hs26's optimum is
+        # quartic-degenerate: the 1e-6 KKT tolerance admits points ~1e-2
+        # from the minimizer
+        atol = 1e-1 if name in ("hs3", "hs26") else 1e-4
         np.testing.assert_allclose(result.x, spec.x_opt, atol=atol)
     if spec.f_opt is not None:
         x_val = float(spec.problem().obj(np.asarray(result.x)))
