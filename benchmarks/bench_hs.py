@@ -34,7 +34,9 @@ def run_ours(x0s):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from problems import HS71
 
-    solver = BatchedSolver(HS71(), Params(validate_input=False))
+    solver = BatchedSolver(
+        HS71(), Params(validate_input=False, jit_chunk=128)
+    )
     y0s = np.zeros((x0s.shape[0], 2))
 
     warm = solver.solve(x0s, y0s)

@@ -16,12 +16,13 @@ import numpy as np
 
 
 def save_state(path: str, state) -> None:
-    """Serialize a LoopState pytree to ``path`` (.npz)."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
+    """Serialize a LoopState pytree to ``path`` (.npz), atomically."""
+    leaves, _ = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     tmp = path + ".tmp"
-    np.savez(tmp, **arrays)
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    with open(tmp, "wb") as f:  # file handle: savez must not append ".npz"
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load_state(path: str, example_state):
