@@ -36,11 +36,20 @@ def run_ours(x0s):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from problems import Rosenbrock
 
+    from pygradflow_tpu import Precision
+
+    precision = Precision[os.environ.get("BENCH_PRECISION", "Double")]
     params = Params(
         validate_input=False,
         linear_solver_type=LinearSolverType[os.environ.get("BENCH_LINSOLVER", "LU")],
         jit_chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+        precision=precision,
     )
+    if precision == Precision.Single:
+        # f32 mode: loosened tolerances (reference params.py:210-211 notes
+        # lamb_min ~1e-6 for single precision)
+        params.opt_tol = 1e-4
+        params.lamb_min = 1e-6
     solver = BatchedSolver(Rosenbrock(), params)
 
     # warmup: populate compile caches with the same shapes
@@ -52,7 +61,8 @@ def run_ours(x0s):
     elapsed = time.perf_counter() - t0
 
     assert res.success.all(), "bench solve failed"
-    assert np.abs(res.x - 1.0).max() < 1e-4
+    tol = 1e-2 if os.environ.get("BENCH_PRECISION") == "Single" else 1e-4
+    assert np.abs(res.x - 1.0).max() < tol
 
     return x0s.shape[0] / elapsed, res
 
@@ -100,7 +110,15 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"batched Rosenbrock solves/sec (B={BATCH}, opt_tol=1e-6)",
+                "metric": (
+                    f"batched Rosenbrock solves/sec (B={BATCH}, "
+                    + (
+                        "f32, opt_tol=1e-4"
+                        if os.environ.get("BENCH_PRECISION") == "Single"
+                        else "opt_tol=1e-6"
+                    )
+                    + ")"
+                ),
                 "value": round(solves_per_sec, 3),
                 "unit": "solves/sec",
                 "vs_baseline": round(vs, 3) if vs is not None else None,
