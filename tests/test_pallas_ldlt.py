@@ -77,3 +77,15 @@ def test_pallas_linear_solver_tier():
     x = np.asarray(lin.solve(fact, jnp.asarray(b)))
     np.testing.assert_allclose(A @ x, b, atol=1e-8)
     assert int(lin.num_neg_eigvals(fact)) == 14
+
+
+def test_hbm_kernel_interpret():
+    """Experimental HBM-streaming kernel: interpret-mode correctness."""
+    from pygradflow_tpu.linalg.pallas_ldlt_hbm import pallas_ldlt_factor_hbm
+
+    A = _saddle(200, 56)
+    packed = pallas_ldlt_factor_hbm(jnp.asarray(A), block=64, interpret=True)
+    b = rng.standard_normal(256)
+    x = np.asarray(refine_solve(packed, jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(A @ x, b, atol=1e-8)
+    assert int(ldlt_num_neg_eigvals(packed)) == 56
