@@ -259,8 +259,8 @@ def pallas_ldlt_factor_hbm(mat, block: int = 256, interpret: bool = False):
 
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_pad, block), jnp.float32),  # current panel

@@ -110,3 +110,21 @@ def test_sharded_parametric():
     assert res.success.all()
     expect = np.stack([np.asarray(a), np.asarray(a) ** 2], axis=1)
     np.testing.assert_allclose(res.x, expect, atol=1e-5)
+
+
+def test_multistart_finds_global():
+    """TargetProblem has two global optima; multistart from a grid finds
+    one of them even when single starts land on saddle regions."""
+    from pygradflow_tpu.parallel import multistart_solve
+    from tests.problems import TARGET_X0, TARGET_X1, TargetProblem
+
+    rng = np.random.default_rng(11)
+    x0s = rng.uniform(-3.0, 3.0, size=(16, 2))
+
+    res = multistart_solve(TargetProblem(), x0s, Params())
+    assert res.success
+    assert res.num_optimal >= 1
+    assert any(
+        np.allclose(res.x, opt, atol=1e-5) for opt in (TARGET_X0, TARGET_X1)
+    )
+    assert res.obj < 1e-8
