@@ -197,6 +197,10 @@ class IntegrationSolver:
                 xz, yz = fl.split(self.ctx, z)
                 z = jnp.concatenate([jnp.clip(xz, self.lb, self.ub), yz])
 
+                if path is not None:
+                    path.append(np.asarray(z)[:, None])
+                    path_times.append(np.array([t]))
+
                 handled = self._handle_crossings(crossed, z, rho, filter)
                 if handled is None:
                     # e.g. unbounded event at an infeasible point: resume
@@ -219,10 +223,9 @@ class IntegrationSolver:
                 # reached t_end without an event
                 path_dist += float(jnp.linalg.norm(seg.z - z))
                 t, z = float(seg.t), seg.z
-
-            if path is not None:
-                path.append(np.asarray(z)[:, None])
-                path_times.append(np.array([t]))
+                if path is not None:
+                    path.append(np.asarray(z)[:, None])
+                    path_times.append(np.array([t]))
 
             if iteration >= iteration_limit:
                 status = SolverStatus.IterationLimit

@@ -98,3 +98,15 @@ def test_solve_hs71(integration_params):
     assert result.success
     np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-6)
     np.testing.assert_allclose(result.y, inst.y_opt, atol=1e-6)
+
+
+def test_integration_collect_path(integration_params):
+    params = Params(iteration_limit=1000, rho=1e-2, collect_path=True)
+    result = IntegrationSolver(SimpleProblem(), params).solve(
+        np.array([10.0]), np.array([])
+    )
+    assert result.success
+    path = result.path
+    assert path.shape[0] == 1
+    assert path.shape[1] >= 2
+    np.testing.assert_allclose(path[:, -1], result.x, atol=1e-10)
