@@ -362,6 +362,132 @@ HS_SPECS = [
         x_opt=_a(2.0, 2.0, 0.6 * math.sqrt(2.0), 0.8 * math.sqrt(2.0)),
         f_opt=28.0 - 10.0 * math.sqrt(2.0),
     ),
+    HSSpec(
+        name="hs12",
+        obj=lambda x: 0.5 * x[0] ** 2 + x[1] ** 2 - x[0] * x[1] - 7.0 * x[0] - 7.0 * x[1],
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(0.0, 0.0),
+        cons=lambda x: jnp.array([25.0 - 4.0 * x[0] ** 2 - x[1] ** 2]),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(2.0, 3.0),
+        f_opt=-30.0,
+    ),
+    HSSpec(
+        name="hs22",
+        obj=lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2,
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(2.0, 2.0),
+        cons=lambda x: jnp.array([-x[0] - x[1] + 2.0, -x[0] ** 2 + x[1]]),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        x_opt=_a(1.0, 1.0),
+        f_opt=1.0,
+    ),
+    HSSpec(
+        name="hs24",
+        obj=lambda x: ((x[0] - 3.0) ** 2 - 9.0) * x[1] ** 3 / (27.0 * math.sqrt(3.0)),
+        var_lb=_a(0.0, 0.0),
+        var_ub=_a(INF, INF),
+        x0=_a(1.0, 0.5),
+        cons=lambda x: jnp.array(
+            [
+                x[0] / math.sqrt(3.0) - x[1],
+                x[0] + math.sqrt(3.0) * x[1],
+                -x[0] - math.sqrt(3.0) * x[1] + 6.0,
+            ]
+        ),
+        cons_lb=_a(0.0, 0.0, 0.0),
+        cons_ub=_a(INF, INF, INF),
+        x_opt=_a(3.0, math.sqrt(3.0)),
+        f_opt=-1.0,
+    ),
+    HSSpec(
+        name="hs29",
+        obj=lambda x: -x[0] * x[1] * x[2],
+        var_lb=_a(-INF, -INF, -INF),
+        var_ub=_a(INF, INF, INF),
+        x0=_a(1.0, 1.0, 1.0),
+        cons=lambda x: jnp.array(
+            [-(x[0] ** 2) - 2.0 * x[1] ** 2 - 4.0 * x[2] ** 2 + 48.0]
+        ),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(4.0, 2.0 * math.sqrt(2.0), 2.0),
+        f_opt=-16.0 * math.sqrt(2.0),
+    ),
+    HSSpec(
+        name="hs43",
+        obj=lambda x: (
+            x[0] ** 2
+            + x[1] ** 2
+            + 2.0 * x[2] ** 2
+            + x[3] ** 2
+            - 5.0 * x[0]
+            - 5.0 * x[1]
+            - 21.0 * x[2]
+            + 7.0 * x[3]
+        ),
+        var_lb=np.full(4, -INF),
+        var_ub=np.full(4, INF),
+        x0=np.zeros(4),
+        cons=lambda x: jnp.array(
+            [
+                8.0 - x[0] ** 2 - x[1] ** 2 - x[2] ** 2 - x[3] ** 2
+                - x[0] + x[1] - x[2] + x[3],
+                10.0 - x[0] ** 2 - 2.0 * x[1] ** 2 - x[2] ** 2 - 2.0 * x[3] ** 2
+                + x[0] + x[3],
+                5.0 - 2.0 * x[0] ** 2 - x[1] ** 2 - x[2] ** 2 - 2.0 * x[0]
+                + x[1] + x[3],
+            ]
+        ),
+        cons_lb=np.zeros(3),
+        cons_ub=np.full(3, INF),
+        x_opt=_a(0.0, 1.0, 2.0, -1.0),
+        f_opt=-44.0,
+    ),
+    HSSpec(
+        name="hs49",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[2] - 1.0) ** 2
+            + (x[3] - 1.0) ** 4
+            + (x[4] - 1.0) ** 6
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(10.0, 7.0, 2.0, -3.0, 0.8),
+        cons=lambda x: jnp.array(
+            [x[0] + x[1] + x[2] + 4.0 * x[3] - 7.0, x[2] + 5.0 * x[4] - 6.0]
+        ),
+        num_eq_cons=2,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs50",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[1] - x[2]) ** 2
+            + (x[2] - x[3]) ** 4
+            + (x[3] - x[4]) ** 2
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(35.0, -31.0, 11.0, 5.0, -5.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 2.0 * x[1] + 3.0 * x[2] - 6.0,
+                x[1] + 2.0 * x[2] + 3.0 * x[3] - 6.0,
+                x[2] + 2.0 * x[3] + 3.0 * x[4] - 6.0,
+            ]
+        ),
+        num_eq_cons=3,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

@@ -58,3 +58,42 @@ class InfeasibleNonlinear(Problem):
 def test_locally_infeasible_nonlinear():
     result = Solver(InfeasibleNonlinear(), Params()).solve(np.array([0.5]))
     assert result.status == SolverStatus.LocallyInfeasible
+
+
+class IllScaledProblem(Problem):
+    """Badly scaled quartic: the first Newton systems at lambda_init are
+    ill-conditioned/singular-ish, exercising the recovery ladder (rejected
+    steps with doubled lambda) before convergence."""
+
+    def __init__(self):
+        super().__init__(np.full(2, -np.inf), np.full(2, np.inf))
+
+    def obj(self, x):
+        return 1e8 * (x[0] - 1.0) ** 4 + 1e-8 * (x[1] - 1.0) ** 2
+
+
+def test_recovery_ladder_ill_scaled():
+    result = Solver(IllScaledProblem(), Params()).solve(np.array([5.0, 5.0]))
+    assert result.success
+    # quartic term is flat near 1 at tol 1e-6; the tiny-coefficient
+    # direction is the hard one and must still be resolved
+    np.testing.assert_allclose(result.x[0], 1.0, atol=2e-2)
+
+
+class SingularHessianProblem(Problem):
+    """Zero-curvature directions: Hessian singular everywhere; the lambda
+    shift regularizes every KKT system and the solve must still converge."""
+
+    def __init__(self):
+        super().__init__(np.full(3, -np.inf), np.full(3, np.inf))
+
+    def obj(self, x):
+        return (x[0] + x[1] + x[2] - 3.0) ** 2  # rank-1 Hessian
+
+
+def test_singular_hessian():
+    result = Solver(SingularHessianProblem(), Params()).solve(np.zeros(3))
+    assert result.success
+    np.testing.assert_allclose(
+        float(result.x.sum()), 3.0, atol=1e-5
+    )
