@@ -275,3 +275,57 @@ def test_collect_path():
     np.testing.assert_allclose(path[:, -1], result.x, atol=1e-12)
     assert result.model_times.shape == (path.shape[1],)
     assert result.primal_model_speed.shape == (path.shape[1] - 1,)
+
+
+@pytest.mark.parametrize(
+    "active_set_type",
+    [
+        "Standard",
+        "SmallestActiveSet",
+        "LargestActiveSet",
+    ],
+)
+def test_active_set_types(active_set_type):
+    """tau heuristics sweep (reference test_solver.py:254-272)."""
+    from pygradflow_tpu import ActiveSetType
+
+    params = Params(active_set_type=ActiveSetType[active_set_type])
+    _solve_and_check(hs71_instance(), params)
+
+
+def test_active_set_explicit_tau():
+    from pygradflow_tpu import ActiveSetType
+
+    params = Params(
+        active_set_type=ActiveSetType.Explicit, active_set_tau=0.5
+    )
+    _solve_and_check(hs71_instance(), params)
+
+
+def test_active_set_method_injection():
+    """Custom tau callable (reference params.active_set_method)."""
+    calls = []
+
+    def tau_method(iterate, lamb, rho):
+        calls.append(1)  # trace-time evidence the hook was used
+        return 0.5
+
+    params = Params(active_set_method=tau_method)
+    _solve_and_check(hs71_instance(), params)
+    assert calls
+
+
+def test_func_problem_api():
+    """FuncProblem: problems from plain callables."""
+    import jax.numpy as jnp
+
+    from pygradflow_tpu.problem import FuncProblem
+
+    problem = FuncProblem(
+        np.full(2, -np.inf),
+        np.full(2, np.inf),
+        obj=lambda v: (1.0 - v[0]) ** 2 + 100.0 * (v[1] - v[0] ** 2) ** 2,
+    )
+    result = Solver(problem, Params()).solve(np.zeros(2))
+    assert result.success
+    np.testing.assert_allclose(result.x, [1.0, 1.0], atol=1e-5)
