@@ -104,12 +104,12 @@ _STARTS = {
 
 for prob in ["rosenbrock", "hs71", "tame"]:
     CASES.append((prob, {}))
-    for nt in ["Simplified", "Full", "ActiveSet"]:
+    for nt in ["Simplified", "Full", "ActiveSet", "Globalized"]:
         CASES.append((prob, {"newton_type": nt}))
-    for sst in ["Standard", "Asymmetric", "Symmetric"]:
+    for sst in ["Standard", "Asymmetric", "Symmetric", "Extended"]:
         CASES.append((prob, {"step_solver_type": sst}))
-    for sct in ["ResiduumRatio"]:
-        CASES.append((prob, {"step_control_type": sct}))
+    for sct in ["ResiduumRatio", "Exact"]:
+        CASES.append((prob, {"step_control_type": sct, "rho": 1e-1}))
     for pu in ["Constant", "DualNorm"]:
         CASES.append((prob, {"penalty_update": pu}))
 
