@@ -95,28 +95,41 @@ def _ldlt() -> LinearSolver:
 
 
 # the whole matrix must fit in VMEM (~16 MB/core) next to a panel and the
-# output: 1280^2 f32 = 6.6 MB is a safe ceiling
+# output: 1280^2 f32 = 6.6 MB is a safe ceiling for the VMEM kernel; above
+# it the HBM-streaming kernel takes over (panels through VMEM), up to the
+# point where even two panels blow VMEM, where the XLA-blocked f32
+# factorization is the fallback
 PALLAS_MAX_N = 1280
+PALLAS_HBM_MAX_N = 2048
+"""Verified envelope of the HBM-streaming kernel on this Mosaic version:
+NB=256 compiles and is bit-verified up to n=2048; NB=128 miscompiles
+(silent NaNs) and n=3072 at NB=256 fails to compile, so larger systems
+take the XLA-blocked f32 path."""
 
 
 def _pallas_ldlt() -> LinearSolver:
-    """Mixed-precision tier: blocked f32 LDL^T in a VMEM-resident Pallas
-    kernel + f64 iterative refinement (TPU Mosaic has no f64).  Falls back
-    to Pallas interpret mode off-TPU so tests run on CPU, and to the
-    XLA-blocked f32 factorization when the matrix exceeds VMEM."""
+    """Mixed-precision tier: blocked f32 LDL^T Pallas kernels + f64
+    iterative refinement (TPU Mosaic has no f64).  VMEM-resident kernel up
+    to PALLAS_MAX_N, HBM-streaming kernel up to PALLAS_HBM_MAX_N,
+    XLA-blocked f32 beyond; Pallas interpret mode off-TPU so tests run on
+    CPU (batched inputs use the VMEM kernel's vmap or the XLA path)."""
     import jax as _jax
     import jax.numpy as _jnp
 
     from .blocked_ldlt import ldlt_factor_blocked
     from .pallas_ldlt import pallas_ldlt_factor_f32, refine_solve
+    from .pallas_ldlt_hbm import pallas_ldlt_factor_hbm
 
     interpret = _jax.default_backend() not in ("tpu", "axon")
 
     def factor(mat):
-        if mat.shape[-1] > PALLAS_MAX_N:
-            packed = ldlt_factor_blocked(mat.astype(_jnp.float32))
-        else:
+        n = mat.shape[-1]
+        if n <= PALLAS_MAX_N:
             packed = pallas_ldlt_factor_f32(mat, interpret=interpret)
+        elif mat.ndim == 2 and n <= PALLAS_HBM_MAX_N:
+            packed = pallas_ldlt_factor_hbm(mat, block=256, interpret=interpret)
+        else:
+            packed = ldlt_factor_blocked(mat.astype(_jnp.float32))
         return (packed, mat)
 
     def solve(fact, rhs, initial_sol=None):

