@@ -81,11 +81,18 @@ def _cholesky() -> LinearSolver:
 # Dense LDL^T with inertia (maps MA57/MUMPS/SSIDS indefinite solvers).
 # ----------------------------------------------------------------------
 
+from .blocked_ldlt import ldlt_factor_blocked  # noqa: E402
 from .ldlt import ldlt_factor, ldlt_num_neg_eigvals, ldlt_solve  # noqa: E402
+
+# above this size the blocked (MXU trailing-update) factorization wins over
+# the unblocked rank-1 sweep
+LDLT_BLOCKED_MIN_N = 192
 
 
 def _ldlt() -> LinearSolver:
     def factor(mat):
+        if mat.shape[-1] > LDLT_BLOCKED_MIN_N and mat.ndim == 2:
+            return ldlt_factor_blocked(mat)
         return ldlt_factor(mat)
 
     def solve(fact, rhs, initial_sol=None):

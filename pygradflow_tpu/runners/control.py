@@ -79,3 +79,60 @@ class PendulumControl(Problem):
         omega = np.zeros(N + 1)
         u = np.zeros(N)
         return np.concatenate([theta, omega, u])
+
+
+class PendulumControlInterleaved(Problem):
+    """Same swing-up problem with per-timestep variable interleaving
+    ``[(theta_k, omega_k, u_k)]_k``: the Lagrangian Hessian becomes block
+    diagonal with 3x3 blocks (the objective is stage-separable and the only
+    constraint curvature, sin(theta_k), is diagonal), enabling the
+    Schur-complement step solver (``StepSolverType.Schur``,
+    ``schur_block_size=3``).  A bounds-fixed dummy variable pads the final
+    stage (theta_N, omega_N have no control)."""
+
+    def __init__(self, N: int = 32, h: float = 0.1, u_max: float = 2.5, alpha=1e-2):
+        self.N = N
+        self.h = h
+        self.alpha = alpha
+
+        n = 3 * (N + 1)
+        lb = np.full(n, -np.inf)
+        ub = np.full(n, np.inf)
+        # controls at positions 3k+2 for k < N; dummy at 3N+2 fixed to 0
+        for k in range(N):
+            lb[3 * k + 2] = -u_max
+            ub[3 * k + 2] = u_max
+        lb[3 * N + 2] = 0.0
+        ub[3 * N + 2] = 0.0
+
+        super().__init__(lb, ub, num_cons=2 * (N + 1))
+
+    def _split(self, z):
+        N = self.N
+        stages = z.reshape(N + 1, 3)
+        return stages[:, 0], stages[:, 1], stages[:N, 2]
+
+    def obj(self, z):
+        theta, omega, u = self._split(z)
+        h = self.h
+        track = jnp.sum((theta - jnp.pi) ** 2) + 0.1 * jnp.sum(omega**2)
+        return h * (track + self.alpha * jnp.sum(u**2))
+
+    def cons(self, z):
+        theta, omega, u = self._split(z)
+        h = self.h
+        c = 0.2
+        dtheta = theta[1:] - theta[:-1] - h * omega[:-1]
+        domega = (
+            omega[1:]
+            - omega[:-1]
+            - h * (-jnp.sin(theta[:-1]) - c * omega[:-1] + u)
+        )
+        init = jnp.stack([theta[0], omega[0]])
+        return jnp.concatenate([init, dtheta, domega])
+
+    def x0_trajectory(self):
+        N = self.N
+        stages = np.zeros((N + 1, 3))
+        stages[:, 0] = np.linspace(0.0, np.pi, N + 1)
+        return stages.reshape(-1)

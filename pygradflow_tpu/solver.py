@@ -95,6 +95,8 @@ class SolveLoop:
             self.iteration_limit = int(params.iteration_limit_default)
 
         self._run_chunk = jax.jit(self._run_chunk_impl)
+        self._init_state = jax.jit(self.init_state)
+        self._finalize = jax.jit(self._finalize_impl)
 
     # ------------------------------------------------------------------
 
@@ -308,6 +310,45 @@ class SolveLoop:
 
         return jax.lax.while_loop(cond, self.body, state)
 
+    def _finalize_impl(self, state: LoopState, x0, y0):
+        """Everything the wrapper needs after the loop, as ONE device call
+        returning a dict fetched with a single ``jax.device_get``: each
+        eager dispatch or scalar fetch costs a full host<->device round
+        trip (~30 ms through the TPU tunnel), so the final residuals,
+        solution restoration and all result scalars are fused here."""
+        params = self.params
+        it = state.it
+        d = bounds_dual(it, self.lb, self.ub, params.active_tol)
+        direct_dist = jnp.sqrt(
+            jnp.sum((it.x - x0) ** 2) + jnp.sum((it.y - y0) ** 2)
+        )
+        x_r, y_r, d_r = self.transform.restore_sol(it.x, it.y, d)
+        c = state.counters
+        dtype = it.x.dtype
+        scalars = jnp.stack(
+            [
+                jnp.asarray(v, dtype)
+                for v in (
+                    direct_dist,
+                    stat_res(it, self.lb, self.ub, params.active_tol),
+                    cons_violation(it),
+                    it.obj,
+                    state.rho,
+                    state.path_dist,
+                    state.lamb,
+                    state.iteration,
+                    state.accepted_steps,
+                    state.num_penalty_changes,
+                    c.obj,
+                    c.obj_grad,
+                    c.cons,
+                    c.cons_jac,
+                    c.lag_hess,
+                )
+            ]
+        )
+        return dict(sol=(x_r, y_r, d_r), scalars=scalars)
+
     def run(self, state: LoopState, timer: Timer, ckpt=None) -> LoopState:
         """Drive chunks until a terminal status or the time limit,
         optionally checkpointing at chunk boundaries."""
@@ -383,7 +424,7 @@ class Solver:
         self._deriv_check(x, y)
 
         timer = Timer(params.time_limit)
-        state0 = loop.init_state(x, y)
+        state0 = loop._init_state(x, y)
 
         ckpt = None
         if checkpoint_path is not None:
@@ -394,8 +435,6 @@ class Solver:
                 state0 = ckpt.restore(state0)
 
         if params.profile_dir:
-            import jax.profiler
-
             with jax.profiler.trace(params.profile_dir):
                 state = loop.run(state0, timer, ckpt)
         else:
@@ -410,34 +449,49 @@ class Solver:
                 f"{params.lamb_max} (incorrect derivatives?)"
             )
 
-        it = state.it
-        rho = float(state.rho)
-
-        direct_dist = float(
-            jnp.sqrt(
-                jnp.sum((it.x - state0.it.x) ** 2) + jnp.sum((it.y - state0.it.y) ** 2)
-            )
-        )
-        path_dist = float(state.path_dist)
+        fin = jax.device_get(loop._finalize(state, x, y))
+        (x_r, y_r, d_r) = fin["sol"]
+        (
+            direct_dist,
+            final_stat_res,
+            final_cons_violation,
+            final_obj,
+            rho,
+            path_dist,
+            _lamb,
+            iterations,
+            accepted_steps,
+            penalty_changes,
+            c_obj,
+            c_obj_grad,
+            c_cons,
+            c_cons_jac,
+            c_lag_hess,
+        ) = (float(v) for v in fin["scalars"])
         dist_factor = path_dist / direct_dist if direct_dist != 0.0 else 1.0
 
-        d = bounds_dual(it, loop.lb, loop.ub, params.active_tol)
+        from .eval import Component
 
-        final_stat_res = float(stat_res(it, loop.lb, loop.ub, params.active_tol))
-        final_cons_violation = float(cons_violation(it))
-        final_obj = float(it.obj)
-
-        (x_r, y_r, d_r) = self.transform.restore_sol(it.x, it.y, d)
+        num_evals = {
+            Component.Obj: int(c_obj),
+            Component.ObjGrad: int(c_obj_grad),
+            Component.Cons: int(c_cons),
+            Component.ConsJac: int(c_cons_jac),
+            Component.LagHess: int(c_lag_hess),
+        }
 
         self._print_result(
             total_time=total_time,
             status=status,
-            state=state,
+            iterations=int(iterations),
+            accepted_steps=int(accepted_steps),
+            penalty_changes=int(penalty_changes),
             rho=rho,
             dist_factor=dist_factor,
             final_obj=final_obj,
             final_stat_res=final_stat_res,
             final_cons_violation=final_cons_violation,
+            num_evals=num_evals,
         )
 
         result = SolverResult(
@@ -446,15 +500,15 @@ class Solver:
             y_r,
             d_r,
             status,
-            iterations=int(state.iteration),
-            num_accepted_steps=int(state.accepted_steps),
+            iterations=int(iterations),
+            num_accepted_steps=int(accepted_steps),
             total_time=total_time,
             dist_factor=dist_factor,
             final_scaled_obj=final_obj,
             final_stat_res=final_stat_res,
             final_cons_violation=final_cons_violation,
-            num_penalty_changes=int(state.num_penalty_changes),
-            num_evals=state.counters.as_dict(),
+            num_penalty_changes=int(penalty_changes),
+            num_evals=num_evals,
         )
 
         if params.collect_path:
@@ -470,12 +524,15 @@ class Solver:
         self,
         total_time,
         status,
-        state,
+        iterations,
+        accepted_steps,
+        penalty_changes,
         rho,
         dist_factor,
         final_obj,
         final_stat_res,
         final_cons_violation,
+        num_evals,
     ):
         desc = "{:>45s}".format(SolverStatus.description(status))
         status_desc = Format.redgreen(desc, SolverStatus.success(status), bold=True)
@@ -483,20 +540,18 @@ class Solver:
 
         logger.info("%20s: %45s", status_name, status_desc)
         logger.info("%20s: %45s", "Time", f"{total_time:.2f}s")
-        logger.info("%20s: %45d", "Iterations", int(state.iteration))
-        logger.info("%20s: %45d", "Accepted steps", int(state.accepted_steps))
+        logger.info("%20s: %45d", "Iterations", iterations)
+        logger.info("%20s: %45d", "Accepted steps", accepted_steps)
         logger.info("%20s: %45e", "Distance factor", dist_factor)
 
         if self.params.penalty_update != PenaltyUpdate.Constant:
             logger.info("%20s: %45e", "Final penalty", rho)
-            logger.info(
-                "%20s: %45d", "Penalty changes", int(state.num_penalty_changes)
-            )
+            logger.info("%20s: %45d", "Penalty changes", penalty_changes)
 
         logger.info("%20s: %45e", "Objective", final_obj)
         logger.info("%20s: %45e", "Constraint violation", final_cons_violation)
         logger.info("%20s: %45e", "Dual violation", final_stat_res)
 
         logger.info("%20s", Format.bold("{:>20s}".format("Evaluations")))
-        for component, num in state.counters.as_dict().items():
+        for component, num in num_evals.items():
             logger.info("%20s: %45d", component.name(), num)

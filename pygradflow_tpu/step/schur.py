@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from .. import implicit_func as impl
 from ..iterate import Iterate
+from ..linalg.blocked_ldlt import ldlt_factor_blocked
 from ..linalg.ldlt import ldlt_factor, ldlt_solve
 from .solvers import Factorization, StepSolverDef, _lower_block
 
@@ -71,8 +72,13 @@ def _blocks_to_vec_solve(block_facts, v, b):
     return out.transpose(0, 2, 1).reshape(n, k)
 
 
-def schur_def(lin_unused, report_rcond: bool, block_size: int) -> StepSolverDef:
+def schur_def(lin, report_rcond: bool, block_size: int) -> StepSolverDef:
+    """``lin`` is the configured dense LinearSolver for the dual Schur
+    complement, or None for the default f64 LDL^T path.  Passing the
+    ``PallasLDLT`` tier factors ``S`` in f32 on the MXU with f64
+    iterative refinement on the back-solve."""
     b = int(block_size)
+    use_lin = lin is not None and lin.name == "pallas_ldlt"
 
     def factor(func: impl.StepFunc, H, J, active, rho):
         lamb = func.lamb
@@ -95,7 +101,12 @@ def schur_def(lin_unused, report_rcond: bool, block_size: int) -> StepSolverDef:
         ainv_jt = _blocks_to_vec_solve(block_facts, Jm.T, b)  # (n, m)
 
         S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt
-        s_fact = ldlt_factor(S)
+        if use_lin:
+            s_fact = lin.factor(S)
+        else:
+            # dense dual factorization: blocked (MXU) beats the rank-1
+            # sweep once m is a few hundred
+            s_fact = ldlt_factor_blocked(S) if m > 192 else ldlt_factor(S)
 
         return Factorization(
             fact=SchurFactors(
@@ -122,7 +133,8 @@ def schur_def(lin_unused, report_rcond: bool, block_size: int) -> StepSolverDef:
 
         sf: SchurFactors = f.fact
         az = _blocks_to_vec_solve(sf.block_facts, rhs_x, b)  # A^{-1} rx'
-        sy = ldlt_solve(sf.s_fact, rhs_y - sf.jac_masked @ az)
+        s_rhs = rhs_y - sf.jac_masked @ az
+        sy = lin.solve(sf.s_fact, s_rhs) if use_lin else ldlt_solve(sf.s_fact, s_rhs)
         sx = az - sf.ainv_jt @ sy
 
         dx = sx

@@ -127,7 +127,14 @@ def step_solver_def(params: Params) -> StepSolverDef:
         assert params.schur_block_size is not None, (
             "StepSolverType.Schur requires params.schur_block_size"
         )
-        return schur_def(None, params.report_rcond, params.schur_block_size)
+        from ..params import LinearSolverType
+
+        schur_lin = (
+            linear_solver(params.linear_solver_type, symmetric=True)
+            if params.linear_solver_type == LinearSolverType.PallasLDLT
+            else None
+        )
+        return schur_def(schur_lin, params.report_rcond, params.schur_block_size)
 
     lin: LinearSolver = linear_solver(
         params.linear_solver_type,

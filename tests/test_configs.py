@@ -37,3 +37,28 @@ def test_pendulum_control():
     # swings most of the way
     theta = result.x[: 17]
     assert abs(theta[-1] - np.pi) < 1.2
+
+
+def test_pendulum_schur_matches_dense():
+    """Interleaved ordering: Schur step solver == dense symmetric solver."""
+    from pygradflow_tpu import StepSolverType
+    from pygradflow_tpu.runners.control import PendulumControlInterleaved
+
+    problem = PendulumControlInterleaved(N=12)
+    x0 = problem.x0_trajectory()
+
+    ref = Solver(
+        problem, Params(iteration_limit=2000)
+    ).solve(x0)
+    schur = Solver(
+        problem,
+        Params(
+            iteration_limit=2000,
+            step_solver_type=StepSolverType.Schur,
+            schur_block_size=3,
+        ),
+    ).solve(x0)
+
+    assert ref.success and schur.success
+    assert schur.iterations == ref.iterations
+    np.testing.assert_allclose(schur.x, ref.x, rtol=1e-8, atol=1e-9)
