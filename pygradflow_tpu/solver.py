@@ -96,6 +96,11 @@ class SolveLoop:
 
         self._run_chunk = jax.jit(self._run_chunk_impl)
         self._init_state = jax.jit(self.init_state)
+        self._first_chunk = jax.jit(
+            lambda x, y, chunk_end: self._run_chunk_impl(
+                self.init_state(x, y), chunk_end
+            )
+        )
         self._finalize = jax.jit(self._finalize_impl)
 
     # ------------------------------------------------------------------
@@ -349,6 +354,21 @@ class SolveLoop:
         )
         return dict(sol=(x_r, y_r, d_r), scalars=scalars)
 
+    def run_fused(self, x, y, timer: Timer) -> LoopState:
+        """Like :meth:`run` from a fresh initial point, but the state
+        initialization is fused into the first chunk dispatch (one fewer
+        ~30 ms host->device round trip on the TPU tunnel)."""
+        chunk = self.params.jit_chunk
+        state = self._first_chunk(x, y, jnp.asarray(chunk, jnp.int32))
+        while True:
+            if int(state.status) != RUNNING:
+                return state
+            if timer.reached_time_limit():
+                return state._replace(
+                    status=jnp.asarray(int(SolverStatus.TimeLimit), jnp.int32)
+                )
+            state = self._run_chunk(state, state.iteration + chunk)
+
     def run(self, state: LoopState, timer: Timer, ckpt=None) -> LoopState:
         """Drive chunks until a terminal status or the time limit,
         optionally checkpointing at chunk boundaries."""
@@ -424,21 +444,28 @@ class Solver:
         self._deriv_check(x, y)
 
         timer = Timer(params.time_limit)
-        state0 = loop._init_state(x, y)
 
         ckpt = None
         if checkpoint_path is not None:
             from .checkpoint import CheckpointManager
 
             ckpt = CheckpointManager(checkpoint_path)
+
+        def drive():
+            if ckpt is None:
+                # fresh solve without checkpointing: init fused into the
+                # first chunk dispatch
+                return loop.run_fused(x, y, timer)
+            state0 = loop._init_state(x, y)
             if resume and ckpt.exists():
                 state0 = ckpt.restore(state0)
+            return loop.run(state0, timer, ckpt)
 
         if params.profile_dir:
             with jax.profiler.trace(params.profile_dir):
-                state = loop.run(state0, timer, ckpt)
+                state = drive()
         else:
-            state = loop.run(state0, timer, ckpt)
+            state = drive()
 
         total_time = timer.elapsed()
 
