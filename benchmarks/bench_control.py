@@ -11,7 +11,12 @@ Tiers:
     per-stage variable ordering makes the Hessian 3x3-block-diagonal
     (SURVEY §7.5c) — batched LDL^T blocks + dense dual Schur complement.
 
-Usage: python benchmarks/bench_control.py [N]
+Usage: python benchmarks/bench_control.py [N] [--batch B]
+
+With ``--batch B`` the script additionally solves B perturbed instances
+of the interleaved problem in lockstep with :class:`BatchedSolver` and
+the Schur step solver — the TPU-first answer to a fleet of optimal
+control problems (model-predictive control across scenarios).
 """
 
 import json
@@ -20,6 +25,45 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def bench_batched(inter, N, B):
+    import jax
+    import numpy as np
+
+    from pygradflow_tpu import LinearSolverType, Params, StepSolverType
+    from pygradflow_tpu.parallel.batch import BatchedSolver
+
+    params = Params(
+        step_solver_type=StepSolverType.Schur,
+        schur_block_size=3,
+        linear_solver_type=LinearSolverType.PallasLDLT,
+        iteration_limit=3000,
+        validate_input=False,
+    )
+    bs = BatchedSolver(inter, params)
+    rng = np.random.default_rng(0)
+    base = inter.x0_trajectory()
+    x0 = np.stack(
+        [base + 0.02 * rng.standard_normal(base.shape) for _ in range(B)]
+    )
+
+    res = bs.solve(x0)  # compile
+    t0 = time.perf_counter()
+    res = bs.solve(x0)
+    wall = time.perf_counter() - t0
+
+    n_opt = int(res.success.sum())
+    out = dict(
+        batch=B,
+        optimal=n_opt,
+        wall_s=round(wall, 3),
+        solves_per_sec=round(B / wall, 1),
+        ms_per_instance=round(wall / B * 1e3, 2),
+        max_iters=int(np.max(res.iterations)),
+    )
+    print(f"  batched Schur+Pallas: {out}", file=sys.stderr)
+    return out
 
 
 def main():
@@ -31,7 +75,14 @@ def main():
         PendulumControlInterleaved,
     )
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    N = int(argv[0]) if argv else 256
+    B = 0
+    if "--batch" in sys.argv:
+        i = sys.argv.index("--batch")
+        if i + 1 >= len(sys.argv):
+            sys.exit("error: --batch requires a value (number of instances)")
+        B = int(sys.argv[i + 1])
 
     flat = PendulumControl(N=N)
     inter = PendulumControlInterleaved(N=N)
@@ -86,6 +137,9 @@ def main():
             ms_per_iter=round(per_iter, 2),
         )
         print(f"  {tier:>10s}: {results[tier]}", file=sys.stderr)
+
+    if B:
+        results["batched"] = bench_batched(inter, N, B)
 
     print(
         json.dumps(
