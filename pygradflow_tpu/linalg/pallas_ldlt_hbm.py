@@ -6,9 +6,12 @@ refinement.  Serves as the PallasLDLT tier for
 PALLAS_MAX_N < n <= PALLAS_HBM_MAX_N (see ``linalg.__init__``).
 
 Known Mosaic limits on this chip (reproduced, not yet diagnosed): NB=128
-produces silent NaNs when compiled (interpret mode is correct at any NB);
-n=3072 at NB=256 fails in the TPU compiler.  The production tier therefore
-pins NB=256 and caps at n=2048.
+produces silent NaNs when compiled (interpret mode is correct at any NB).
+n=3072 at NB=256 needs ``vmem_limit_bytes`` raised past the 16MB default
+to compile, and then *miscompiles silently* (finite garbage ~1e34 in the
+factor, solve residual 10x worse than the XLA f32 path); n=4096 factors
+to NaN.  The production tier therefore pins NB=256 and caps at n=2048,
+where the kernel is verified against the XLA factorization.
 
 The VMEM-resident kernel (``pallas_ldlt.py``) caps at ~1280 rows (the whole
 matrix must fit in VMEM).  This variant keeps the matrix in HBM and streams
@@ -274,6 +277,9 @@ def pallas_ldlt_factor_hbm(mat, block: int = 256, interpret: bool = False):
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the default 16MB scoped-VMEM cap rejects n>2048 (2 full-height
+        # panels + the double-buffered L panel exceed it); v5e has 128MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mat)
 
