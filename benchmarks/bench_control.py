@@ -31,16 +31,16 @@ def bench_batched(inter, N, B):
     import jax
     import numpy as np
 
-    from pygradflow_tpu import Params, StepSolverType
+    from pygradflow_tpu import LinearSolverType, Params, StepSolverType
     from pygradflow_tpu.parallel.batch import BatchedSolver
 
-    # NOTE: the Pallas dual factor is not used here — vmapping a Pallas
-    # kernel adds a grid dimension, which trips a Mosaic legalization bug
-    # on this chip ('func.return' op). The f64 blocked LDL^T dual factor
-    # batches cleanly.
+    # vmapped Pallas factors route through the grid-free batched kernel
+    # (custom_vmap in linalg/pallas_ldlt.py), so the Pallas dual factor
+    # works in lockstep batching too
     params = Params(
         step_solver_type=StepSolverType.Schur,
         schur_block_size=3,
+        linear_solver_type=LinearSolverType.PallasLDLT,
         iteration_limit=3000,
         validate_input=False,
     )
@@ -65,7 +65,7 @@ def bench_batched(inter, N, B):
         ms_per_instance=round(wall / B * 1e3, 2),
         max_iters=int(np.max(res.iterations)),
     )
-    print(f"  batched Schur (f64 dual): {out}", file=sys.stderr)
+    print(f"  batched Schur+Pallas: {out}", file=sys.stderr)
     return out
 
 

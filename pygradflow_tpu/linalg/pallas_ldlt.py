@@ -105,6 +105,93 @@ def _kernel(a_ref, out_ref, *, n, block):
     out_ref[:] = _factor_body(a_ref[:], n, block)
 
 
+def _batched_kernel(a_ref, out_ref, buf, isem, osem, *, n, block, batch):
+    """Grid-free batched variant: this Mosaic toolchain fails to legalize
+    ANY gridded pallas call ('func.return' error), including the implicit
+    grid vmap adds — so batching is a ``fori_loop`` over instances INSIDE
+    one kernel call, streaming each (n, n) matrix HBM -> VMEM -> HBM."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def body(i, carry):
+        load = pltpu.make_async_copy(a_ref.at[i], buf, isem)
+        load.start()
+        load.wait()
+        buf[:] = _factor_body(buf[:], n, block)
+        store = pltpu.make_async_copy(buf, out_ref.at[i], osem)
+        store.start()
+        store.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(batch), body, jnp.int32(0))
+
+
+def _call_batched(mat, n_pad, block, interpret):
+    """Explicitly batched (..., n, n) factorization via the grid-free
+    batched kernel (leading dims flattened)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = mat.shape[:-2]
+    flat = mat.reshape((-1, n_pad, n_pad))
+    batch = flat.shape[0]
+
+    if interpret:
+        kernel = functools.partial(_kernel, n=n_pad, block=block)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            interpret=True,
+        )
+        out = jax.vmap(call)(flat)
+    else:
+        kernel = functools.partial(
+            _batched_kernel, n=n_pad, block=block, batch=batch
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((batch, n_pad, n_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, n_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )(flat)
+    return out.reshape(lead + (n_pad, n_pad))
+
+
+def _dispatch_factor(mat, n_pad, block, interpret):
+    """Route to the single or batched kernel.  The single-instance call is
+    wrapped in ``custom_vmap`` so ``jax.vmap`` (e.g. BatchedSolver's
+    whole-loop vmap) reaches the grid-free batched kernel instead of the
+    grid that vmap would add to a pallas_call — which this Mosaic
+    toolchain fails to legalize ('func.return' error).  One vmap level is
+    supported (nested vmap of a factorization does not occur here)."""
+    from jax.experimental import pallas as pl
+
+    if mat.ndim >= 3:
+        return _call_batched(mat, n_pad, block, interpret)
+
+    @jax.custom_batching.custom_vmap
+    def single(m):
+        kernel = functools.partial(_kernel, n=n_pad, block=block)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            interpret=interpret,
+        )(m)
+
+    @single.def_vmap
+    def _rule(axis_size, in_batched, m):
+        return _call_batched(m, n_pad, block, interpret), True
+
+    return single(mat)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def pallas_ldlt_factor_f32(mat, block: int = DEFAULT_BLOCK, interpret: bool = False):
     """Factor an (n, n) (or batched (B, n, n)) f32 matrix; n is padded to a
@@ -122,16 +209,7 @@ def pallas_ldlt_factor_f32(mat, block: int = DEFAULT_BLOCK, interpret: bool = Fa
         eye = jnp.broadcast_to(jnp.eye(n_pad, dtype=jnp.float32), shape)
         mat = eye.at[..., :n, :n].set(mat)
 
-    kernel = functools.partial(_kernel, n=n_pad, block=block)
-
-    # grid-free 2-D kernel (this Mosaic rejects gridded rank-3 blocks);
-    # batching is a vmap over the pallas_call
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
-        interpret=interpret,
-    )
-    out = jax.vmap(call)(mat) if batched else call(mat)
+    out = _dispatch_factor(mat, n_pad, block, interpret)
 
     if n_pad != n:
         out = out[..., :n, :n]
