@@ -263,7 +263,28 @@ def pallas_ldlt_factor_hbm(mat, block: int = 256, interpret: bool = False):
 
     kernel = _make_kernel(n_pad, block)
 
-    out = pl.pallas_call(
+    @jax.custom_batching.custom_vmap
+    def call(m):
+        return _pallas_call_hbm(m, kernel, n_pad, block, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, m):
+        # this Mosaic toolchain rejects any gridded pallas call (incl.
+        # the grid vmap adds): run instances sequentially, grid-free
+        return jax.lax.map(call, m), True
+
+    out = call(mat)
+
+    if n_pad != n:
+        out = out[:n, :n]
+    return out
+
+
+def _pallas_call_hbm(mat, kernel, n_pad, block, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -282,7 +303,3 @@ def pallas_ldlt_factor_hbm(mat, block: int = 256, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(mat)
-
-    if n_pad != n:
-        out = out[:n, :n]
-    return out

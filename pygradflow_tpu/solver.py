@@ -97,10 +97,11 @@ class SolveLoop:
         self._run_chunk = jax.jit(self._run_chunk_impl)
         self._init_state = jax.jit(self.init_state)
         self._first_chunk = jax.jit(
-            lambda x, y, chunk_end: self._run_chunk_impl(
-                self.init_state(x, y), chunk_end
+            lambda x, y, chunk_end: self._chunk_and_finalize(
+                self.init_state(x, y), chunk_end, x, y
             )
         )
+        self._next_chunk = jax.jit(self._chunk_and_finalize)
         self._finalize = jax.jit(self._finalize_impl)
 
     # ------------------------------------------------------------------
@@ -349,25 +350,37 @@ class SolveLoop:
                     c.cons,
                     c.cons_jac,
                     c.lag_hess,
+                    state.status,
                 )
             ]
         )
         return dict(sol=(x_r, y_r, d_r), scalars=scalars)
 
-    def run_fused(self, x, y, timer: Timer) -> LoopState:
-        """Like :meth:`run` from a fresh initial point, but the state
-        initialization is fused into the first chunk dispatch (one fewer
-        ~30 ms host->device round trip on the TPU tunnel)."""
+    def _chunk_and_finalize(self, state, chunk_end, x0, y0):
+        state = self._run_chunk_impl(state, chunk_end)
+        return state, self._finalize_impl(state, x0, y0)
+
+    def run_fused(self, x, y, timer: Timer):
+        """Drive a fresh solve with minimal host<->device traffic: state
+        init is fused into the first chunk dispatch, the finalizer runs
+        inside every chunk call, and only the packed scalar vector is
+        fetched per chunk (~30 ms per round trip on the TPU tunnel).
+        Returns ``(state, fin, scalars_np)``; the solution arrays in
+        ``fin["sol"]`` are fetched by the caller only once at the end."""
         chunk = self.params.jit_chunk
-        state = self._first_chunk(x, y, jnp.asarray(chunk, jnp.int32))
+        state, fin = self._first_chunk(x, y, jnp.asarray(chunk, jnp.int32))
         while True:
-            if int(state.status) != RUNNING:
-                return state
+            scalars = np.array(fin["scalars"])  # copy: mutated on TimeLimit
+            status = int(scalars[-1])
+            if status != RUNNING:
+                return state, fin, scalars
             if timer.reached_time_limit():
-                return state._replace(
+                scalars[-1] = int(SolverStatus.TimeLimit)
+                state = state._replace(
                     status=jnp.asarray(int(SolverStatus.TimeLimit), jnp.int32)
                 )
-            state = self._run_chunk(state, state.iteration + chunk)
+                return state, fin, scalars
+            state, fin = self._next_chunk(state, state.iteration + chunk, x, y)
 
     def run(self, state: LoopState, timer: Timer, ckpt=None) -> LoopState:
         """Drive chunks until a terminal status or the time limit,
@@ -454,30 +467,23 @@ class Solver:
         def drive():
             if ckpt is None:
                 # fresh solve without checkpointing: init fused into the
-                # first chunk dispatch
+                # first chunk dispatch, finalizer fused into every chunk
                 return loop.run_fused(x, y, timer)
             state0 = loop._init_state(x, y)
             if resume and ckpt.exists():
                 state0 = ckpt.restore(state0)
-            return loop.run(state0, timer, ckpt)
+            state = loop.run(state0, timer, ckpt)
+            fin = loop._finalize(state, x, y)
+            return state, fin, np.asarray(fin["scalars"])
 
         if params.profile_dir:
             with jax.profiler.trace(params.profile_dir):
-                state = drive()
+                state, fin, scalars = drive()
         else:
-            state = drive()
+            state, fin, scalars = drive()
 
         total_time = timer.elapsed()
 
-        status = SolverStatus(int(state.status))
-        if status == SolverStatus.LambdaLimit:
-            raise Exception(
-                f"Inverse step size {float(state.lamb)} exceeded maximum "
-                f"{params.lamb_max} (incorrect derivatives?)"
-            )
-
-        fin = jax.device_get(loop._finalize(state, x, y))
-        (x_r, y_r, d_r) = fin["sol"]
         (
             direct_dist,
             final_stat_res,
@@ -494,7 +500,17 @@ class Solver:
             c_cons,
             c_cons_jac,
             c_lag_hess,
-        ) = (float(v) for v in fin["scalars"])
+            _status_val,
+        ) = (float(v) for v in scalars)
+
+        status = SolverStatus(int(_status_val))
+        if status == SolverStatus.LambdaLimit:
+            raise Exception(
+                f"Inverse step size {_lamb} exceeded maximum "
+                f"{params.lamb_max} (incorrect derivatives?)"
+            )
+
+        (x_r, y_r, d_r) = jax.device_get(fin["sol"])
         dist_factor = path_dist / direct_dist if direct_dist != 0.0 else 1.0
 
         from .eval import Component
