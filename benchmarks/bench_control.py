@@ -10,6 +10,9 @@ Tiers:
   - ``Schur``: block-elimination on ``PendulumControlInterleaved`` whose
     per-stage variable ordering makes the Hessian 3x3-block-diagonal
     (SURVEY §7.5c) — batched LDL^T blocks + dense dual Schur complement.
+  - ``Schur+BCR``: additionally exploits the stage-local constraint
+    ordering (dual Schur complement block-tridiagonal, 2x2 blocks):
+    band-only assembly + block cyclic reduction, O(m) per factorization.
 
 Usage: python benchmarks/bench_control.py [N] [--batch B]
 
@@ -117,6 +120,17 @@ def main():
                 step_solver_type=StepSolverType.Schur,
                 schur_block_size=3,
                 linear_solver_type=LinearSolverType.PallasLDLT,
+                **common,
+            ),
+        ),
+        # block-tridiagonal dual via cyclic reduction: O(m) per factor,
+        # the asymptotic winner for long horizons
+        "Schur+BCR": (
+            inter,
+            Params(
+                step_solver_type=StepSolverType.Schur,
+                schur_block_size=3,
+                schur_dual_block_size=2,
                 **common,
             ),
         ),

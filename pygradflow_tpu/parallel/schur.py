@@ -49,12 +49,15 @@ def distributed_schur_solve(
     rhs_xb = rhs_x.reshape(nb, b)
 
     def solve_kernel(h_blocks, jac_b, rhs_xb, m22, rhs_y):
-        # local factorizations of this shard's blocks
-        facts = jax.vmap(ldlt_factor)(h_blocks)
+        # explicit local block inverses: applications become batched
+        # GEMMs on the MXU instead of b-wide substitution sweeps
+        from ..step.schur import _block_inverses
+
+        inv = _block_inverses(h_blocks)
 
         # A^{-1} J^T for the local blocks: rhs rows are (m, b) per block
-        ainv_jt = jax.vmap(ldlt_solve)(facts, jac_b)  # (nb/D, m, b)
-        az = jax.vmap(ldlt_solve)(facts, rhs_xb)  # (nb/D, b)
+        ainv_jt = jnp.einsum("kij,kmj->kmi", inv, jac_b)  # (nb/D, m, b)
+        az = jnp.einsum("kij,kj->ki", inv, rhs_xb)  # (nb/D, b)
 
         # local contributions to the Schur complement and condensed rhs
         s_local = jnp.einsum("kmb,knb->mn", jac_b, ainv_jt)

@@ -210,6 +210,7 @@ class Params:
     terminates on convergence; this only bounds the path buffer)."""
 
     schur_block_size: Optional[int] = None
+    schur_dual_block_size: Optional[int] = None
     """Hessian block size for StepSolverType.Schur: the (transformed)
     Hessian must be block diagonal with contiguous blocks of this size."""
 

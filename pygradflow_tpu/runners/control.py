@@ -119,6 +119,12 @@ class PendulumControlInterleaved(Problem):
         return h * (track + self.alpha * jnp.sum(u**2))
 
     def cons(self, z):
+        """Constraints interleaved per stage: block 0 is the initial
+        condition (theta_0, omega_0), block k >= 1 is the dynamics pair
+        (dtheta_{k-1}, domega_{k-1}) coupling stages k-1 and k.  With
+        this ordering adjacent constraint blocks share at most one stage,
+        so the dual Schur complement is block *tridiagonal* with 2x2
+        blocks — enabling ``schur_dual_block_size=2``."""
         theta, omega, u = self._split(z)
         h = self.h
         c = 0.2
@@ -129,7 +135,8 @@ class PendulumControlInterleaved(Problem):
             - h * (-jnp.sin(theta[:-1]) - c * omega[:-1] + u)
         )
         init = jnp.stack([theta[0], omega[0]])
-        return jnp.concatenate([init, dtheta, domega])
+        pairs = jnp.stack([dtheta, domega], axis=1).reshape(-1)
+        return jnp.concatenate([init, pairs])
 
     def x0_trajectory(self):
         N = self.N

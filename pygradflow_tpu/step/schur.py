@@ -41,10 +41,11 @@ from .solvers import Factorization, StepSolverDef, _lower_block
 
 
 class SchurFactors(NamedTuple):
-    block_facts: Any  # (nb, b, b) LDL^T factors of masked A blocks
-    s_fact: Any  # LDL^T factor of the dual Schur complement
-    jac_masked: Any  # J with active columns zeroed
+    block_inv: Any  # (nb, b, b) explicit inverses of the masked A blocks
+    s_fact: Any  # factor of the dual Schur complement
+    jac_masked: Any  # J with active columns zeroed (f64)
     ainv_jt: Any  # A^{-1} J^T, reused in back-substitution (n, m)
+    m11: Any  # masked primal block (f64) for mixed-precision refinement
 
 
 def _block_diag_blocks(H, b):
@@ -54,31 +55,61 @@ def _block_diag_blocks(H, b):
     return H.reshape(nb, b, nb, b)[jnp.arange(nb), :, jnp.arange(nb), :]
 
 
-def _blocks_to_vec_solve(block_facts, v, b):
-    """Solve the block-diagonal system A x = v for a vector or matrix v.
+def _block_inverses(blocks):
+    """Explicit inverses of a batch of small (b, b) blocks via the
+    unrolled LDL^T (the blocks are lambda-shifted Hessian blocks or
+    identity rows — well conditioned by construction).
 
-    ``ldlt_solve`` treats the *last* axis as the system dimension, so
-    matrix right-hand sides are transposed to (nb, k, b) before the
-    batched solve."""
+    Rationale: batched *substitution* solves with b=3 run 3-wide on the
+    128-lane VPU (~2% utilization) and dominate the factor cost at long
+    horizons; with explicit inverses every application becomes a batched
+    GEMM on the MXU."""
+    b = blocks.shape[-1]
+    eye = jnp.eye(b, dtype=blocks.dtype)
+
+    def inv_one(blk):
+        fact = ldlt_factor(blk)
+        return ldlt_solve(fact, eye).T  # columns solve C x = e_j
+
+    return jax.vmap(inv_one)(blocks)
+
+
+def _blocks_apply(block_inv, v, b):
+    """Apply the block-diagonal A^{-1} to a vector (n,) or matrix (n, k)
+    as one batched GEMM."""
     n = v.shape[0]
     nb = n // b
     if v.ndim == 1:
-        vb = v.reshape(nb, b)
-        out = jax.vmap(ldlt_solve)(block_facts, vb)
-        return out.reshape(n)
+        return jnp.einsum("rij,rj->ri", block_inv, v.reshape(nb, b)).reshape(n)
     k = v.shape[1]
-    vb = v.reshape(nb, b, k).transpose(0, 2, 1)  # (nb, k, b)
-    out = jax.vmap(ldlt_solve)(block_facts, vb)  # (nb, k, b)
-    return out.transpose(0, 2, 1).reshape(n, k)
+    vb = v.reshape(nb, b, k)
+    return jnp.einsum("rij,rjk->rik", block_inv, vb).reshape(n, k)
 
 
-def schur_def(lin, report_rcond: bool, block_size: int) -> StepSolverDef:
+def schur_def(
+    lin, report_rcond: bool, block_size: int, dual_block=None
+) -> StepSolverDef:
     """``lin`` is the configured dense LinearSolver for the dual Schur
     complement, or None for the default f64 LDL^T path.  Passing the
     ``PallasLDLT`` tier factors ``S`` in f32 on the MXU with f64
-    iterative refinement on the back-solve."""
+    iterative refinement on the back-solve.
+
+    ``dual_block`` (``params.schur_dual_block_size``): when the problem's
+    constraints are stage-local (each couples at most two adjacent
+    stages), ``S`` is symmetric block *tridiagonal* with (dual_block,
+    dual_block) blocks and is factored in O(m) with the block-Thomas
+    sweeps of ``linalg/block_tridiag.py`` instead of O(m^3) dense —
+    the TPU-native equivalent of the reference's sparse LU on banded
+    optimal-control KKT systems."""
     b = int(block_size)
-    use_lin = lin is not None and lin.name == "pallas_ldlt"
+    has_pallas = lin is not None and lin.name == "pallas_ldlt"
+    use_lin = dual_block is None and has_pallas
+    use_btd = dual_block is not None
+    # mixed precision: f32 block inverses / band assembly / cyclic
+    # reduction (f64 einsums on TPU lower to ~8-pass bf16 emulation
+    # loops that dominate long-horizon factors), f64 accuracy recovered
+    # by iterative refinement on the masked saddle system in solve()
+    mixed = use_btd and has_pallas
 
     def factor(func: impl.StepFunc, H, J, active, rho):
         lamb = func.lamb
@@ -95,22 +126,49 @@ def schur_def(lin, report_rcond: bool, block_size: int) -> StepSolverDef:
         M11 = jnp.where(both_inact, Hl, 0.0) + jnp.diag(active.astype(dtype))
         Jm = jnp.where(inact[None, :], J, 0.0)  # active columns zeroed
 
-        blocks = _block_diag_blocks(M11, b)
-        block_facts = jax.vmap(ldlt_factor)(blocks)
+        work_dtype = jnp.float32 if mixed else dtype
+        M11w = M11.astype(work_dtype)
+        Jmw = Jm.astype(work_dtype)
 
-        ainv_jt = _blocks_to_vec_solve(block_facts, Jm.T, b)  # (n, m)
+        blocks = _block_diag_blocks(M11w, b)
+        block_inv = _block_inverses(blocks)
 
-        S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt
-        if use_lin:
+        ainv_jt = _blocks_apply(block_inv, Jmw.T, b)  # (n, m)
+
+        if use_btd:
+            # band-only Schur assembly: with stage-local constraints only
+            # the tridiagonal blocks of S are nonzero, so assembling the
+            # dense (m, m) product Jm @ ainv_jt would waste O(m^2 n) MXU
+            # work on known zeros.  Build the (M, q, q) diagonal and
+            # (M-1, q, q) super-diagonal bands directly: O(M q^2 n).
+            from ..linalg.block_tridiag import bcr_factor
+
+            q = int(dual_block)
+            mb = m // q
+            fact_s = 1.0 / (1.0 + lamb * rho)
+            jb = Jmw.reshape(mb, q, n)
+            ab = ainv_jt.reshape(n, mb, q)
+            diag = -jnp.einsum("rqn,nrp->rqp", jb, ab) - jnp.asarray(
+                lamb * fact_s, work_dtype
+            ) * jnp.eye(q, dtype=work_dtype)
+            upper = -jnp.einsum("rqn,nrp->rqp", jb[:-1], ab[:, 1:])
+            s_fact = bcr_factor(diag, upper)
+        elif use_lin:
+            S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt
             s_fact = lin.factor(S)
         else:
+            S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt
             # dense dual factorization: blocked (MXU) beats the rank-1
             # sweep once m is a few hundred
             s_fact = ldlt_factor_blocked(S) if m > 192 else ldlt_factor(S)
 
         return Factorization(
             fact=SchurFactors(
-                block_facts=block_facts, s_fact=s_fact, jac_masked=Jm, ainv_jt=ainv_jt
+                block_inv=block_inv,
+                s_fact=s_fact,
+                jac_masked=Jmw,
+                ainv_jt=ainv_jt,
+                m11=M11 if mixed else None,
             ),
             active=active,
             hess_shifted=Hl,
@@ -132,10 +190,45 @@ def schur_def(lin, report_rcond: bool, block_size: int) -> StepSolverDef:
         rhs_y = pfact * ry - f.jac @ b0_full
 
         sf: SchurFactors = f.fact
-        az = _blocks_to_vec_solve(sf.block_facts, rhs_x, b)  # A^{-1} rx'
-        s_rhs = rhs_y - sf.jac_masked @ az
-        sy = lin.solve(sf.s_fact, s_rhs) if use_lin else ldlt_solve(sf.s_fact, s_rhs)
-        sx = az - sf.ainv_jt @ sy
+
+        def eliminate(rx_, ry_):
+            """Block-elimination solve of the masked saddle system in the
+            factorization's working precision."""
+            az = _blocks_apply(sf.block_inv, rx_, b)
+            s_rhs = ry_ - sf.jac_masked @ az
+            if use_btd:
+                from ..linalg.block_tridiag import bcr_solve
+
+                sy_ = bcr_solve(sf.s_fact, s_rhs)
+            elif use_lin:
+                sy_ = lin.solve(sf.s_fact, s_rhs)
+            else:
+                sy_ = ldlt_solve(sf.s_fact, s_rhs)
+            return az - sf.ainv_jt @ sy_, sy_
+
+        if mixed:
+            # f32 elimination + f64 iterative refinement on the masked
+            # saddle system [[M11, Jm^T], [Jm, -lamb*pfact*I]]
+            dtype = rx.dtype
+            wd = sf.jac_masked.dtype
+
+            def inner(rx_, ry_):
+                sx_, sy_ = eliminate(rx_.astype(wd), ry_.astype(wd))
+                return sx_.astype(dtype), sy_.astype(dtype)
+
+            inact = jnp.logical_not(f.active)
+            jm64 = jnp.where(inact[None, :], f.jac, 0.0)
+            mu = lamb * pfact
+
+            sx, sy = inner(rhs_x, rhs_y)
+            for _ in range(3):
+                r_x = rhs_x - sf.m11 @ sx - jm64.T @ sy
+                r_y = rhs_y - jm64 @ sx + mu * sy
+                cx, cy = inner(r_x, r_y)
+                sx = sx + cx
+                sy = sy + cy
+        else:
+            sx, sy = eliminate(rhs_x, rhs_y)
 
         dx = sx
         dy = pfact * (sy - rho * ry)

@@ -134,7 +134,12 @@ def step_solver_def(params: Params) -> StepSolverDef:
             if params.linear_solver_type == LinearSolverType.PallasLDLT
             else None
         )
-        return schur_def(schur_lin, params.report_rcond, params.schur_block_size)
+        return schur_def(
+            schur_lin,
+            params.report_rcond,
+            params.schur_block_size,
+            dual_block=params.schur_dual_block_size,
+        )
 
     lin: LinearSolver = linear_solver(
         params.linear_solver_type,

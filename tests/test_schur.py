@@ -92,3 +92,86 @@ def test_distributed_schur_matches_dense():
 
     np.testing.assert_allclose(np.asarray(sx), dense[:n], rtol=1e-9, atol=1e-10)
     np.testing.assert_allclose(np.asarray(sy), dense[n:], rtol=1e-9, atol=1e-10)
+
+
+def test_block_tridiag_solve_matches_dense():
+    """Block-Thomas factor/solve vs a dense solve on a random symmetric
+    negative-definite block-tridiagonal matrix."""
+    from pygradflow_tpu.linalg.block_tridiag import (
+        btd_factor,
+        btd_solve,
+        dense_to_btd,
+    )
+
+    rng = np.random.default_rng(5)
+    M, q = 37, 2
+    m = M * q
+    S = np.zeros((m, m))
+    for i in range(M):
+        B = rng.standard_normal((q, q))
+        S[i * q : (i + 1) * q, i * q : (i + 1) * q] = -(B @ B.T + 5 * np.eye(q))
+    for i in range(M - 1):
+        U = 0.3 * rng.standard_normal((q, q))
+        S[i * q : (i + 1) * q, (i + 1) * q : (i + 2) * q] = U
+        S[(i + 1) * q : (i + 2) * q, i * q : (i + 1) * q] = U.T
+    rhs = rng.standard_normal(m)
+
+    fact = btd_factor(*dense_to_btd(jnp.asarray(S), q))
+    x = btd_solve(fact, jnp.asarray(rhs))
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(S, rhs), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_pendulum_schur_btd_matches_dense():
+    """The block-tridiagonal dual solver must reproduce the dense Schur
+    trajectory on the interleaved pendulum (whose per-stage constraint
+    ordering makes S exactly block tridiagonal with 2x2 blocks)."""
+    from pygradflow_tpu.runners.control import PendulumControlInterleaved
+
+    p = PendulumControlInterleaved(N=16)
+    x0 = p.x0_trajectory()
+    common = dict(
+        step_solver_type=StepSolverType.Schur,
+        schur_block_size=3,
+        validate_input=False,
+    )
+    r_dense = Solver(p, Params(**common)).solve(x0)
+    r_btd = Solver(p, Params(schur_dual_block_size=2, **common)).solve(x0)
+
+    assert r_dense.status == r_btd.status
+    assert r_dense.iterations == r_btd.iterations
+    np.testing.assert_allclose(
+        np.asarray(r_btd.x), np.asarray(r_dense.x), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_pendulum_schur_btd_mixed_precision():
+    """f32 cyclic-reduction elimination + f64 saddle refinement
+    (``schur_dual_block_size`` + ``LinearSolverType.PallasLDLT``) must
+    recover the f64 trajectory."""
+    from pygradflow_tpu import LinearSolverType
+    from pygradflow_tpu.runners.control import PendulumControlInterleaved
+
+    p = PendulumControlInterleaved(N=16)
+    x0 = p.x0_trajectory()
+    common = dict(
+        step_solver_type=StepSolverType.Schur,
+        schur_block_size=3,
+        validate_input=False,
+    )
+    r_dense = Solver(p, Params(**common)).solve(x0)
+    r_mixed = Solver(
+        p,
+        Params(
+            schur_dual_block_size=2,
+            linear_solver_type=LinearSolverType.PallasLDLT,
+            **common,
+        ),
+    ).solve(x0)
+
+    assert r_dense.status == r_mixed.status
+    assert r_dense.iterations == r_mixed.iterations
+    np.testing.assert_allclose(
+        np.asarray(r_mixed.x), np.asarray(r_dense.x), rtol=1e-8, atol=1e-9
+    )
