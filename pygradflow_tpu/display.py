@@ -108,8 +108,12 @@ def solver_display(num_cons: int, params) -> Display:
         Column("|dy|", 16, "{:{w}.8e}"),
         Column("lamb", 12, "{:{w}.4e}"),
         Column("rho", 12, "{:{w}.4e}"),
-        Column("accept", 8, _bool_cell(8)),
     ]
+    # rcond column when estimation is enabled (the reference displays it
+    # under params.report_rcond, display.py:240-242)
+    if getattr(params, "report_rcond", False):
+        cols.append(Column("rcond", 12, "{:{w}.4e}"))
+    cols.append(Column("accept", 8, _bool_cell(8)))
     return Display(cols, interval=params.display_interval)
 
 

@@ -104,28 +104,30 @@ def _ldlt() -> LinearSolver:
 # the whole matrix must fit in VMEM (~16 MB/core) next to a panel and the
 # output: 1280^2 f32 = 6.6 MB is a safe ceiling for the VMEM kernel; above
 # it the HBM-streaming kernel takes over (panels through VMEM), up to the
-# point where even two panels blow VMEM, where the XLA-blocked f32
-# factorization is the fallback
+# point where the two-level factorization (Pallas diagonal blocks + XLA
+# GEMM trailing updates, two_level_ldlt.py) carries arbitrary n
 PALLAS_MAX_N = 1280
 PALLAS_HBM_MAX_N = 2048
 """Verified envelope of the HBM-streaming kernel on this Mosaic version:
 NB=256 compiles and is bit-verified up to n=2048; NB=128 miscompiles
-(silent NaNs) and n=3072 at NB=256 fails to compile, so larger systems
-take the XLA-blocked f32 path."""
+(silent NaNs) and n=3072 at NB=256 *miscompiles silently*, so larger
+systems take the two-level factorization, which only ever runs Mosaic
+code at verified sizes."""
 
 
 def _pallas_ldlt() -> LinearSolver:
     """Mixed-precision tier: blocked f32 LDL^T Pallas kernels + f64
     iterative refinement (TPU Mosaic has no f64).  VMEM-resident kernel up
-    to PALLAS_MAX_N, HBM-streaming kernel up to PALLAS_HBM_MAX_N,
-    XLA-blocked f32 beyond; Pallas interpret mode off-TPU so tests run on
-    CPU (batched inputs use the VMEM kernel's vmap or the XLA path)."""
+    to PALLAS_MAX_N, HBM-streaming kernel up to PALLAS_HBM_MAX_N, the
+    two-level factorization (Pallas diagonal blocks + XLA GEMMs) beyond;
+    Pallas interpret mode off-TPU so tests run on CPU.  Every factor is
+    checked by an O(n^2) residual probe that poisons silent miscompiles
+    into NaN (-> rejected step), see ``two_level_ldlt.guard_factor``."""
     import jax as _jax
-    import jax.numpy as _jnp
 
-    from .blocked_ldlt import ldlt_factor_blocked
     from .pallas_ldlt import pallas_ldlt_factor_f32, refine_solve
     from .pallas_ldlt_hbm import pallas_ldlt_factor_hbm
+    from .two_level_ldlt import guard_factor, ldlt_factor_two_level
 
     interpret = _jax.default_backend() not in ("tpu", "axon")
 
@@ -136,7 +138,8 @@ def _pallas_ldlt() -> LinearSolver:
         elif mat.ndim == 2 and n <= PALLAS_HBM_MAX_N:
             packed = pallas_ldlt_factor_hbm(mat, block=256, interpret=interpret)
         else:
-            packed = ldlt_factor_blocked(mat.astype(_jnp.float32))
+            packed = ldlt_factor_two_level(mat, interpret=interpret)
+        packed = guard_factor(packed, mat)
         return (packed, mat)
 
     def solve(fact, rhs, initial_sol=None):
@@ -168,30 +171,28 @@ def _minres() -> LinearSolver:
 
 
 def _gmres() -> LinearSolver:
+    import inspect
+
     import jax.scipy.sparse.linalg as spla
+
+    # jax renamed ``tol=`` to ``rtol=`` (scipy 1.14 alignment); pick
+    # whichever this version exposes instead of pinning the deprecated name
+    tol_kw = (
+        "rtol"
+        if "rtol" in inspect.signature(spla.gmres).parameters
+        else "tol"
+    )
+    kwargs = {tol_kw: 1e-12, "atol": 1e-12, "solve_method": "batched"}
 
     def factor(mat):
         return mat
 
     def solve(mat, rhs, initial_sol=None):
-        sol, _ = spla.gmres(
-            lambda v: mat @ v,
-            rhs,
-            x0=initial_sol,
-            tol=1e-12,
-            atol=1e-12,
-            solve_method="batched",
-        )
+        sol, _ = spla.gmres(lambda v: mat @ v, rhs, x0=initial_sol, **kwargs)
         return sol
 
     def solve_trans(mat, rhs):
-        sol, _ = spla.gmres(
-            lambda v: mat.T @ v,
-            rhs,
-            tol=1e-12,
-            atol=1e-12,
-            solve_method="batched",
-        )
+        sol, _ = spla.gmres(lambda v: mat.T @ v, rhs, **kwargs)
         return sol
 
     return LinearSolver(factor, solve, solve_trans, None, "gmres")

@@ -62,6 +62,7 @@ class LoopState(NamedTuple):
     status: Any
     counters: Counters
     path: Any  # () or (buffer (cap, n+m), times (cap,), length)
+    last_rcond: Any  # rcond estimate from the most recent step (NaN when off)
 
 
 class SolveLoop:
@@ -137,6 +138,7 @@ class SolveLoop:
             status=jnp.asarray(RUNNING, jnp.int32),
             counters=counters,
             path=path,
+            last_rcond=jnp.full((), jnp.nan, dtype),
         )
 
     # ------------------------------------------------------------------
@@ -240,6 +242,7 @@ class SolveLoop:
             status=status,
             counters=ctrl.counters,
             path=path_n,
+            last_rcond=ctrl.rcond,
         )
 
         self._emit_row(state, state_n, ctrl, accept_final, primal_step_norm, dual_step_norm)
@@ -272,6 +275,8 @@ class SolveLoop:
             rho=state_n.rho,
             accept=accept,
         )
+        if params.report_rcond:
+            payload["rcond"] = ctrl.rcond
 
         if emit_display:
             display = self._display()
@@ -350,6 +355,7 @@ class SolveLoop:
                     c.cons,
                     c.cons_jac,
                     c.lag_hess,
+                    state.last_rcond,
                     state.status,
                 )
             ]
@@ -500,6 +506,7 @@ class Solver:
             c_cons,
             c_cons_jac,
             c_lag_hess,
+            final_rcond,
             _status_val,
         ) = (float(v) for v in scalars)
 
@@ -552,6 +559,7 @@ class Solver:
             final_cons_violation=final_cons_violation,
             num_penalty_changes=int(penalty_changes),
             num_evals=num_evals,
+            final_rcond=final_rcond,
         )
 
         if params.collect_path:

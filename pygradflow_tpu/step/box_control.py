@@ -98,6 +98,10 @@ def make_box_reduced(cfg: ControlCfg):
         lamb_n = jnp.where(accepted, 0.5 * lamb, 2.0 * lamb)
 
         active = impl.compute_active_set(func, next_it, rho)
-        return ControlResult(next_it, lamb_n, accepted, error_sum, active, counters)
+        # no KKT factorization in the box-reduced path: no rcond estimate
+        rcond = jnp.full_like(lamb_n, jnp.nan)
+        return ControlResult(
+            next_it, lamb_n, accepted, error_sum, active, counters, rcond
+        )
 
     return step

@@ -48,6 +48,7 @@ class ControlResult(NamedTuple):
     error_sum: Any  # PI integral state
     active_set: Any  # bool (n,) from the last Newton step
     counters: Counters
+    rcond: Any  # Dixon estimate from the last factorization (NaN when off)
 
 
 class ControlCfg(NamedTuple):
@@ -182,7 +183,13 @@ def _distance_ratio(cfg: ControlCfg):
             # device-varying under shard_map so cond branch types match
             accepted = jnp.logical_or(conv1, jnp.logical_not(conv1))
             return ControlResult(
-                mid_it, lamb_n, accepted, error_sum, step1.active_set, counters
+                mid_it,
+                lamb_n,
+                accepted,
+                error_sum,
+                step1.active_set,
+                counters,
+                step1.rcond,
             )
 
         def full_branch(counters):
@@ -206,7 +213,7 @@ def _distance_ratio(cfg: ControlCfg):
             accepted = jnp.logical_or(accepted, zero2)
 
             return ControlResult(
-                fin_it, lamb_n, accepted, es_n, step2.active_set, counters
+                fin_it, lamb_n, accepted, es_n, step2.active_set, counters, step2.rcond
             )
 
         return jax.lax.cond(early, early_branch, full_branch, counters)
@@ -250,7 +257,9 @@ def _residuum_ratio(cfg: ControlCfg):
         es_n = jnp.where(conv1, error_sum, es_n)
         accepted = jnp.logical_or(accepted, conv1)
 
-        return ControlResult(mid_it, lamb_n, accepted, es_n, step1.active_set, counters)
+        return ControlResult(
+            mid_it, lamb_n, accepted, es_n, step1.active_set, counters, step1.rcond
+        )
 
     return step
 
@@ -298,6 +307,7 @@ def _exact(cfg: ControlCfg):
                 i=c["i"] + 1,
                 state=state,
                 active=step_i.active_set,
+                rcond=step_i.rcond,
             )
 
         init = dict(
@@ -310,6 +320,7 @@ def _exact(cfg: ControlCfg):
             # under shard_map
             state=jnp.zeros_like(curr_val).astype(jnp.int32),
             active=jnp.zeros_like(orig.x, dtype=bool),
+            rcond=jnp.full_like(curr_val, jnp.nan),
         )
         out = jax.lax.while_loop(cond, body, init)
 
@@ -317,7 +328,13 @@ def _exact(cfg: ControlCfg):
         lamb_n = jnp.where(success, 0.5 * lamb, 2.0 * lamb)
 
         return ControlResult(
-            out["it"], lamb_n, success, error_sum, out["active"], out["counters"]
+            out["it"],
+            lamb_n,
+            success,
+            error_sum,
+            out["active"],
+            out["counters"],
+            out["rcond"],
         )
 
     return step
@@ -339,7 +356,7 @@ def _fixed(cfg: ControlCfg):
         lamb_n = jnp.zeros_like(lamb) + params.lamb_init
         accepted = lamb_n == lamb_n  # varying True (see distance-ratio note)
         return ControlResult(
-            mid_it, lamb_n, accepted, error_sum, step1.active_set, counters
+            mid_it, lamb_n, accepted, error_sum, step1.active_set, counters, step1.rcond
         )
 
     return step
@@ -399,5 +416,6 @@ def compute_step(cfg: ControlCfg, controller, orig: Iterate, lamb, rho, error_su
         error_sum=error_sum,
         active_set=res.active_set,
         counters=res.counters,
+        rcond=res.rcond,
     )
     return select(res, fail)

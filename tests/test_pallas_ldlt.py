@@ -89,3 +89,79 @@ def test_hbm_kernel_interpret():
     x = np.asarray(refine_solve(packed, jnp.asarray(A), jnp.asarray(b)))
     np.testing.assert_allclose(A @ x, b, atol=1e-8)
     assert int(ldlt_num_neg_eigvals(packed)) == 56
+
+
+# ----------------------------------------------------------------------
+# Two-level factorization (Pallas diagonal blocks + XLA GEMM trailing
+# updates) — the tier above PALLAS_HBM_MAX_N
+# ----------------------------------------------------------------------
+
+
+def test_two_level_matches_unblocked():
+    from pygradflow_tpu.linalg.two_level_ldlt import ldlt_factor_two_level
+
+    A = _saddle(250, 70)  # n=320: 3 super-blocks of 128
+    f_two = np.asarray(
+        ldlt_factor_two_level(
+            jnp.asarray(A), super_block=128, block=64, interpret=True
+        )
+    )
+    f_ref = np.asarray(ldlt_factor(jnp.asarray(A, dtype=jnp.float32)))
+    np.testing.assert_allclose(
+        np.tril(f_two), np.tril(f_ref), rtol=2e-3, atol=2e-3
+    )
+    assert int(ldlt_num_neg_eigvals(jnp.asarray(f_two))) == 70
+
+
+def test_two_level_refine_solve_and_inertia():
+    from pygradflow_tpu.linalg.two_level_ldlt import ldlt_factor_two_level
+
+    A = _saddle(200, 56)
+    packed = ldlt_factor_two_level(
+        jnp.asarray(A), super_block=128, block=64, interpret=True
+    )
+    b = rng.standard_normal(256)
+    x = np.asarray(refine_solve(packed, jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(A @ x, b, atol=1e-8)
+    assert int(ldlt_num_neg_eigvals(packed)) == 56
+
+
+def test_two_level_vmap():
+    import jax
+
+    from pygradflow_tpu.linalg.two_level_ldlt import ldlt_factor_two_level
+
+    A0 = _saddle(140, 52)  # n=192
+    A1 = A0 + 0.3 * np.eye(192)
+    batch = jnp.stack([jnp.asarray(A0), jnp.asarray(A1)])
+
+    fn = lambda m: ldlt_factor_two_level(
+        m, super_block=128, block=64, interpret=True
+    )
+    packed = jax.vmap(fn)(batch)
+    for i, Ai in enumerate([A0, A1]):
+        f_ref = np.asarray(ldlt_factor(jnp.asarray(Ai, dtype=jnp.float32)))
+        np.testing.assert_allclose(
+            np.tril(np.asarray(packed[i])), np.tril(f_ref), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_factor_guard_poisons_garbage():
+    """The residual guard must pass a genuine factor and poison a
+    corrupted one (the HBM kernel's silent-miscompile signature is finite
+    ~1e34 garbage, CLAUDE.md)."""
+    from pygradflow_tpu.linalg.two_level_ldlt import guard_factor
+
+    A = jnp.asarray(_saddle(100, 28), dtype=jnp.float32)
+    packed = ldlt_factor(A)
+
+    ok = guard_factor(packed, A)
+    assert bool(jnp.all(jnp.isfinite(jnp.tril(ok))))
+
+    garbage = packed.at[50, 10].set(1e34)
+    bad = guard_factor(garbage, A)
+    assert bool(jnp.all(jnp.isnan(bad)))
+
+    nan_factor = packed.at[3, 3].set(jnp.nan)
+    still_bad = guard_factor(nan_factor, A)
+    assert not bool(jnp.all(jnp.isfinite(still_bad)))
