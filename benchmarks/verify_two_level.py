@@ -46,6 +46,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", type=int, nargs="+", default=[3072, 4096, 6144])
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument(
+        "--no-ref",
+        action="store_true",
+        help="skip the XLA-blocked reference factor (slow to compile/run "
+        "at the largest sizes); correctness is then judged by the "
+        "residual probe and the refined solve only",
+    )
     args = parser.parse_args()
 
     import jax
@@ -74,12 +81,15 @@ def main():
         ref = jax.jit(lambda x: ldlt_factor_blocked(x))
 
         f_two = jax.block_until_ready(two(A32))
-        f_ref = jax.block_until_ready(ref(A32))
 
-        tril_two = np.tril(np.asarray(f_two))
-        tril_ref = np.tril(np.asarray(f_ref))
-        scale = np.abs(tril_ref).max()
-        max_rel = float(np.abs(tril_two - tril_ref).max() / scale)
+        if args.no_ref:
+            max_rel = None
+        else:
+            f_ref = jax.block_until_ready(ref(A32))
+            tril_two = np.tril(np.asarray(f_two))
+            tril_ref = np.tril(np.asarray(f_ref))
+            scale = np.abs(tril_ref).max()
+            max_rel = float(np.abs(tril_two - tril_ref).max() / scale)
 
         inertia_ok = int(ldlt_num_neg_eigvals(f_two)) == m
         probe = float(ldlt_factor_residual(f_two, A32))
@@ -91,7 +101,7 @@ def main():
         solve_res = float(jnp.linalg.norm(A64 @ x - b) / jnp.linalg.norm(b))
 
         t_two = timeit(lambda: two(A32))
-        t_ref = timeit(lambda: ref(A32))
+        t_ref = None if args.no_ref else timeit(lambda: ref(A32))
 
         rec = {
             "n": n,
@@ -102,8 +112,8 @@ def main():
             "guard_pass": guard_pass,
             "refine_solve_relres": solve_res,
             "two_level_ms": t_two * 1e3,
-            "xla_blocked_ms": t_ref * 1e3,
-            "speedup": t_ref / t_two,
+            "xla_blocked_ms": None if t_ref is None else t_ref * 1e3,
+            "speedup": None if t_ref is None else t_ref / t_two,
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)

@@ -195,3 +195,36 @@ def validate_fns(fns: Fns, x0, y0) -> None:
         from .log import logger
 
         logger.warning("Hessian not numerically symmetric")
+
+
+def diagnose_eval_failure(fns: Fns, x, y):
+    """Name the user callback that produced non-finite values at ``(x, y)``.
+
+    Host-side replay used by the driver's debug diagnostics (reference
+    ValidatingEvaluator raises per call, ``eval.py:130-211``; under jit the
+    failure surfaces later as a rejected candidate, so the driver replays
+    the recorded point eagerly).  Returns the failing :class:`Component`,
+    or ``None`` when every evaluation is finite — which means the
+    candidate itself was non-finite, i.e. a singular KKT factorization
+    (StepSolverError in the reference), not an evaluation error.
+    """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if not (np.isfinite(x).all() and np.isfinite(y).all()):
+        return None  # factorization breakdown, not a user-eval failure
+
+    checks = [
+        (Component.Obj, lambda: fns.obj(x)),
+        (Component.ObjGrad, lambda: fns.obj_grad(x)),
+    ]
+    if fns.num_cons > 0:
+        checks += [
+            (Component.Cons, lambda: fns.cons(x)),
+            (Component.ConsJac, lambda: fns.cons_jac(x)),
+        ]
+    checks.append((Component.LagHess, lambda: fns.lag_hess(x, y)))
+
+    for component, evaluate in checks:
+        if not np.isfinite(np.asarray(evaluate())).all():
+            return component
+    return None

@@ -63,6 +63,11 @@ class LoopState(NamedTuple):
     counters: Counters
     path: Any  # () or (buffer (cap, n+m), times (cap,), length)
     last_rcond: Any  # rcond estimate from the most recent step (NaN when off)
+    # () or (flag, first_x, first_y, cand_x, cand_y): the first candidate
+    # chain rejected for non-finite values (first evaluated inner candidate
+    # + final candidate), kept for the host-side eval diagnosis
+    # (params.validate_input)
+    eval_fail: Any
 
 
 class SolveLoop:
@@ -139,6 +144,17 @@ class SolveLoop:
             counters=counters,
             path=path,
             last_rcond=jnp.full((), jnp.nan, dtype),
+            eval_fail=(
+                (
+                    jnp.zeros((), bool),
+                    jnp.zeros_like(x),
+                    jnp.zeros_like(y),
+                    jnp.zeros_like(x),
+                    jnp.zeros_like(y),
+                )
+                if params.validate_input
+                else ()
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -177,7 +193,7 @@ class SolveLoop:
         """One outer iteration (reference ``solver.py:305-380``)."""
         params = self.params
 
-        ctrl = compute_step(
+        out = compute_step(
             self.cfg,
             self.controller,
             state.it,
@@ -186,6 +202,7 @@ class SolveLoop:
             state.error_sum,
             state.counters,
         )
+        ctrl = out.ctrl
 
         next_it = ctrl.iterate
         lamb_n = ctrl.lamb
@@ -220,6 +237,22 @@ class SolveLoop:
             length = length + do_write.astype(jnp.int32)
             path_n = (buf, times, length)
 
+        eval_fail_n = state.eval_fail
+        if params.validate_input:
+            flag, fxb, fyb, xb, yb = state.eval_fail
+            # record the FIRST non-finite candidate chain (factorization
+            # breakdown or bad user eval; the host diagnosis distinguishes)
+            new_bad = jnp.logical_and(
+                jnp.logical_not(out.eval_ok), jnp.logical_not(flag)
+            )
+            eval_fail_n = (
+                jnp.logical_or(flag, jnp.logical_not(out.eval_ok)),
+                jnp.where(new_bad, out.first_x, fxb),
+                jnp.where(new_bad, out.first_y, fyb),
+                jnp.where(new_bad, out.cand_x, xb),
+                jnp.where(new_bad, out.cand_y, yb),
+            )
+
         # lambda blow-up check (reference raises, solver.py:323-326)
         status = jnp.where(
             lamb_n >= params.lamb_max,
@@ -243,6 +276,7 @@ class SolveLoop:
             counters=ctrl.counters,
             path=path_n,
             last_rcond=ctrl.rcond,
+            eval_fail=eval_fail_n,
         )
 
         self._emit_row(state, state_n, ctrl, accept_final, primal_step_norm, dual_step_norm)
@@ -336,6 +370,9 @@ class SolveLoop:
         x_r, y_r, d_r = self.transform.restore_sol(it.x, it.y, d)
         c = state.counters
         dtype = it.x.dtype
+        eval_fail_flag = (
+            state.eval_fail[0] if params.validate_input else jnp.zeros((), bool)
+        )
         scalars = jnp.stack(
             [
                 jnp.asarray(v, dtype)
@@ -356,11 +393,15 @@ class SolveLoop:
                     c.cons_jac,
                     c.lag_hess,
                     state.last_rcond,
+                    eval_fail_flag,
                     state.status,
                 )
             ]
         )
-        return dict(sol=(x_r, y_r, d_r), scalars=scalars)
+        out = dict(sol=(x_r, y_r, d_r), scalars=scalars)
+        if params.validate_input:
+            out["eval_fail"] = state.eval_fail[1:]
+        return out
 
     def _chunk_and_finalize(self, state, chunk_end, x0, y0):
         state = self._run_chunk_impl(state, chunk_end)
@@ -507,11 +548,46 @@ class Solver:
             c_cons_jac,
             c_lag_hess,
             final_rcond,
+            _eval_fail,
             _status_val,
         ) = (float(v) for v in scalars)
 
         status = SolverStatus(int(_status_val))
+
+        # eval diagnosis (debug-mode parity with the reference
+        # ValidatingEvaluator, eval.py:130-211): a candidate was rejected
+        # for non-finite values at some point — replay the user callbacks
+        # eagerly at that point and name the culprit component
+        failed_component = None
+        fail_x = None
+        if params.validate_input and _eval_fail != 0.0:
+            from .eval import diagnose_eval_failure
+
+            first_x, first_y, cand_x, cand_y = jax.device_get(fin["eval_fail"])
+            # try the first evaluated inner candidate (finite coordinates
+            # even when its bad eval poisoned later candidates), then the
+            # final candidate
+            for fail_x, fail_y in ((first_x, first_y), (cand_x, cand_y)):
+                failed_component = diagnose_eval_failure(
+                    self.transform.fns, fail_x, fail_y
+                )
+                if failed_component is not None:
+                    break
+            if failed_component is not None:
+                logger.warning(
+                    "Evaluation of %s produced non-finite values at x = %s "
+                    "(step rejected)",
+                    failed_component.name(),
+                    np.asarray(fail_x),
+                )
+
         if status == SolverStatus.LambdaLimit:
+            if failed_component is not None:
+                raise EvalError(
+                    f"Evaluation of {failed_component.name()} produced "
+                    f"non-finite values at x = {np.asarray(fail_x)}",
+                    fail_x,
+                )
             raise Exception(
                 f"Inverse step size {_lamb} exceeded maximum "
                 f"{params.lamb_max} (incorrect derivatives?)"

@@ -101,7 +101,14 @@ def make_box_reduced(cfg: ControlCfg):
         # no KKT factorization in the box-reduced path: no rcond estimate
         rcond = jnp.full_like(lamb_n, jnp.nan)
         return ControlResult(
-            next_it, lamb_n, accepted, error_sum, active, counters, rcond
+            next_it,
+            lamb_n,
+            accepted,
+            error_sum,
+            active,
+            counters,
+            rcond,
+            (next_it.x, next_it.y),
         )
 
     return step

@@ -49,6 +49,10 @@ class ControlResult(NamedTuple):
     active_set: Any  # bool (n,) from the last Newton step
     counters: Counters
     rcond: Any  # Dixon estimate from the last factorization (NaN when off)
+    # (x, y) of the FIRST evaluated inner candidate: when a bad user eval
+    # there poisons later candidates' x with NaN, this point still has
+    # finite coordinates, letting the host diagnosis name the component
+    first_point: Any
 
 
 class ControlCfg(NamedTuple):
@@ -190,6 +194,7 @@ def _distance_ratio(cfg: ControlCfg):
                 step1.active_set,
                 counters,
                 step1.rcond,
+                (mid_it.x, mid_it.y),
             )
 
         def full_branch(counters):
@@ -213,7 +218,14 @@ def _distance_ratio(cfg: ControlCfg):
             accepted = jnp.logical_or(accepted, zero2)
 
             return ControlResult(
-                fin_it, lamb_n, accepted, es_n, step2.active_set, counters, step2.rcond
+                fin_it,
+                lamb_n,
+                accepted,
+                es_n,
+                step2.active_set,
+                counters,
+                step2.rcond,
+                (mid_it.x, mid_it.y),
             )
 
         return jax.lax.cond(early, early_branch, full_branch, counters)
@@ -258,7 +270,14 @@ def _residuum_ratio(cfg: ControlCfg):
         accepted = jnp.logical_or(accepted, conv1)
 
         return ControlResult(
-            mid_it, lamb_n, accepted, es_n, step1.active_set, counters, step1.rcond
+            mid_it,
+            lamb_n,
+            accepted,
+            es_n,
+            step1.active_set,
+            counters,
+            step1.rcond,
+            (mid_it.x, mid_it.y),
         )
 
     return step
@@ -299,6 +318,9 @@ def _exact(cfg: ControlCfg):
 
             state = jnp.where(converged, 1, jnp.where(bad, 2, 0)).astype(jnp.int32)
 
+            is_first = c["i"] == 0
+            first_x = jnp.where(is_first, next_it.x, c["first_x"])
+            first_y = jnp.where(is_first, next_it.y, c["first_y"])
             return dict(
                 it=next_it,
                 carry=carry2,
@@ -308,6 +330,8 @@ def _exact(cfg: ControlCfg):
                 state=state,
                 active=step_i.active_set,
                 rcond=step_i.rcond,
+                first_x=first_x,
+                first_y=first_y,
             )
 
         init = dict(
@@ -321,6 +345,8 @@ def _exact(cfg: ControlCfg):
             state=jnp.zeros_like(curr_val).astype(jnp.int32),
             active=jnp.zeros_like(orig.x, dtype=bool),
             rcond=jnp.full_like(curr_val, jnp.nan),
+            first_x=orig.x,
+            first_y=orig.y,
         )
         out = jax.lax.while_loop(cond, body, init)
 
@@ -335,6 +361,7 @@ def _exact(cfg: ControlCfg):
             out["active"],
             out["counters"],
             out["rcond"],
+            (out["first_x"], out["first_y"]),
         )
 
     return step
@@ -356,7 +383,14 @@ def _fixed(cfg: ControlCfg):
         lamb_n = jnp.zeros_like(lamb) + params.lamb_init
         accepted = lamb_n == lamb_n  # varying True (see distance-ratio note)
         return ControlResult(
-            mid_it, lamb_n, accepted, error_sum, step1.active_set, counters, step1.rcond
+            mid_it,
+            lamb_n,
+            accepted,
+            error_sum,
+            step1.active_set,
+            counters,
+            step1.rcond,
+            (mid_it.x, mid_it.y),
         )
 
     return step
@@ -396,6 +430,21 @@ def _iterate_finite(it: Iterate):
     return ok
 
 
+class ComputedStep(NamedTuple):
+    """``compute_step`` output: the (recovered) control result plus the
+    raw failure evidence the driver's eval diagnostics need — whether the
+    candidate was finite, the first evaluated inner candidate, and the
+    final *pre-recovery* candidate (the recovered ``ctrl.iterate`` is
+    reset to the origin on failure)."""
+
+    ctrl: ControlResult
+    eval_ok: Any  # scalar bool: candidate iterate + lambda were finite
+    first_x: Any  # first evaluated inner candidate (pre-recovery)
+    first_y: Any
+    cand_x: Any  # final raw candidate primal (pre-recovery)
+    cand_y: Any  # final raw candidate dual (pre-recovery)
+
+
 def compute_step(cfg: ControlCfg, controller, orig: Iterate, lamb, rho, error_sum, counters):
     """Run the controller; convert non-finite candidates (singular KKT
     factorization, failed evaluation) into a rejected step with doubled
@@ -417,5 +466,13 @@ def compute_step(cfg: ControlCfg, controller, orig: Iterate, lamb, rho, error_su
         active_set=res.active_set,
         counters=res.counters,
         rcond=res.rcond,
+        first_point=res.first_point,
     )
-    return select(res, fail)
+    return ComputedStep(
+        ctrl=select(res, fail),
+        eval_ok=ok,
+        first_x=res.first_point[0],
+        first_y=res.first_point[1],
+        cand_x=res.iterate.x,
+        cand_y=res.iterate.y,
+    )
