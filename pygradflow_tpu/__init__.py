@@ -33,6 +33,7 @@ if _cache_dir and _cache_dir != "0":
 from .params import (  # noqa: E402,F401
     ActiveSetType,
     DerivCheck,
+    IntegrationMethod,
     LinearSolverType,
     NewtonType,
     Params,

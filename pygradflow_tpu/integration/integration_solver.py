@@ -55,7 +55,13 @@ class IntegrationSolver:
             active_tol=params.active_tol,
         )
 
-        self._run_segment, self._step_fn = make_segment_runner(self.cfg)
+        self._run_segment, self._step_fn = make_segment_runner(
+            self.cfg,
+            method=params.integration_method,
+            rtol=params.integration_rtol,
+            atol=params.integration_atol,
+            max_steps=params.integration_max_steps,
+        )
 
     # ------------------------------------------------------------------
 
@@ -103,12 +109,15 @@ class IntegrationSolver:
         rho = params.rho
         z = jnp.concatenate([x, y])
         t = 0.0
+        h0 = 1e-4  # carried across segments once the controller adapts it
         filter = self.create_filter(z, rho)
 
         z_init = z
         status = None
         iteration = 0
         path_dist = 0.0
+        total_steps = 0
+        total_newtons = 0
 
         path = [np.asarray(z)[:, None]] if params.collect_path else None
         path_times = [np.array([0.0])] if params.collect_path else None
@@ -146,12 +155,20 @@ class IntegrationSolver:
             t_end = t + 1e10
 
             seg = self._run_segment(
-                jnp.asarray(t, z.dtype), z, jnp.asarray(1e-4, z.dtype), rho,
+                jnp.asarray(t, z.dtype), z, jnp.asarray(h0, z.dtype), rho,
                 filter, grad_dirs, jnp.asarray(t_end, z.dtype),
             )
 
             seg_status = int(seg.status)
             iteration += 1
+            total_steps += int(seg.num_steps)
+            total_newtons += int(seg.num_newton)
+            # carry the adapted step when the segment merely ran out of
+            # horizon (t_end): the dynamics are unchanged, and restarting
+            # at 1e-4 wastes a ramp-up.  After a real event the filter or
+            # rho changes the dynamics, so keep the conservative restart
+            # (which also preserves the reference-matching event sequence).
+            h0 = max(float(seg.h), 1e-10) if seg_status == 1 else 1e-4
 
             if display is not None and display.should_display():
                 display.row(
@@ -251,6 +268,8 @@ class IntegrationSolver:
             num_accepted_steps=iteration,
             total_time=total_time,
             dist_factor=dist_factor,
+            num_integration_steps=total_steps,
+            num_newton_steps=total_newtons,
         )
         if path is not None:
             result._set_path(np.hstack(path), np.hstack(path_times))

@@ -1,28 +1,51 @@
-"""Adaptive implicit integrator for the stiff restricted flow.
+"""Adaptive implicit integrators for the stiff restricted flow.
 
 The reference integrates with scipy's BDF + analytic Jacobian + scipy event
-root-finding (``integration_solver.py:278-285``).  The TPU-native engine is
-a self-contained adaptive implicit-Euler integrator with step-doubling
-error control, fully jit-compiled: each accepted step performs three Newton
-solves (one full step, two half steps) against the dense flow Jacobian
-(pure-JAX PLU), the local error estimate adapts ``h``, and the event vector
-is evaluated per accepted step so a whole integration *segment* (advance
-until any event crossing) runs as one ``lax.while_loop`` on device.  Event
-times are then refined by host-driven bisection re-using the jitted
-single-step kernel (the reference likewise re-enters Python per event).
+root-finding (``integration_solver.py:278-285``).  The TPU-native engine
+ships two self-contained adaptive one-step methods, fully jit-compiled, so
+a whole integration *segment* (advance until any event crossing) runs as
+one ``lax.while_loop`` on device; event times are then refined by
+host-driven bisection re-using the jitted single-step kernel (the
+reference likewise re-enters Python per event).
+
+- **TR-BDF2** (default): the L-stable trapezoidal/BDF2 composite of Bank
+  et al. with the Hosea-Shampine embedded 3rd-order error estimate.  Both
+  stages share the implicit weight ``d = gamma/2`` (``gamma = 2 - sqrt 2``),
+  so ONE dense Jacobian factorization per attempted step serves every
+  frozen-Jacobian Newton iteration of both stages — vs up to
+  ``3*NEWTON_MAX_IT`` factorizations for step-doubled implicit Euler.
+- **Implicit Euler** with step-doubling/Richardson error control: three
+  full-Newton solves per attempted step; kept as the maximally robust
+  fallback (``Params.integration_method``).
 """
 
+import math
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..linalg.plu import plu_factor, plu_solve
+from ..params import IntegrationMethod
 from . import events as ev
 from . import flow as fl
 
 NEWTON_MAX_IT = 8
 NEWTON_TOL_FACTOR = 1e-3  # relative to the step error tolerance
+
+# TR-BDF2 constants (gamma = 2 - sqrt(2): equal implicit weights in both
+# stages, L-stability)
+TRBDF2_GAMMA = 2.0 - math.sqrt(2.0)
+TRBDF2_D = TRBDF2_GAMMA / 2.0  # implicit weight, both stages
+# stage-2 (BDF2) combination w = AZ*z + AW*w_gamma + D*h*f(w)
+TRBDF2_AW = 1.0 / (TRBDF2_GAMMA * (2.0 - TRBDF2_GAMMA))
+TRBDF2_AZ = 1.0 - TRBDF2_AW
+# embedded error weights: est = h/3 * (E1*f(z) + E2*f(w_gamma) + E3*f(w))
+# (difference of the order-2 weights b = [sqrt2/4, sqrt2/4, 1-sqrt2/2]
+# against the 3rd-order quadrature weights for nodes [0, gamma, 1])
+TRBDF2_E1 = math.sqrt(2.0) - 1.0
+TRBDF2_E2 = -1.0
+TRBDF2_E3 = 2.0 - math.sqrt(2.0)
 
 
 def _scaled_norm(v, ref, rtol, atol):
@@ -33,9 +56,9 @@ def _scaled_norm(v, ref, rtol, atol):
 
 
 def implicit_euler_step(ctx, z, h, rho, filter, rtol, atol):
-    """One implicit-Euler step: solve w = z + h f(w) by Newton with the
-    dense Jacobian; returns (w, converged).  Error control is
-    per-component (scipy-style), so small components (duals, constraint
+    """One implicit-Euler step: solve w = z + h f(w) by full Newton with
+    the dense Jacobian; returns (w, converged, num_newton).  Error control
+    is per-component (scipy-style), so small components (duals, constraint
     values) are resolved to atol rather than to rtol*||z||."""
 
     def newton_body(carry):
@@ -53,11 +76,86 @@ def implicit_euler_step(ctx, z, h, rho, filter, rtol, atol):
         return jnp.logical_and(i < NEWTON_MAX_IT, err > NEWTON_TOL_FACTOR)
 
     w0 = z + h * fl.rhs(ctx, z, rho, filter)  # explicit predictor
-    (w, _, err) = jax.lax.while_loop(
+    (w, iters, err) = jax.lax.while_loop(
         newton_cond, newton_body, (w0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, z.dtype))
     )
     ok = jnp.logical_and(err <= 1.0, jnp.all(jnp.isfinite(w)))
-    return w, ok
+    return w, ok, iters
+
+
+def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
+    """One TR-BDF2 step from ``z``: TR stage to ``z + gamma*h``, BDF2
+    stage to ``z + h``.  Both stages solve with the SAME frozen matrix
+    ``M = I - d*h*J(z)`` (simplified Newton), so the whole step costs one
+    dense factorization plus back-solves.  Returns
+    ``(w, ok, num_newton, est)`` where ``est`` is the stiffly-filtered
+    embedded local-error estimate (Hosea & Shampine)."""
+    fz = fl.rhs(ctx, z, rho, filter)
+    J = fl.rhs_jac(ctx, z, rho, filter)
+    n_all = z.shape[0]
+    M = jnp.eye(n_all, dtype=z.dtype) - (TRBDF2_D * h) * J
+    fact = plu_factor(M)
+
+    dh = TRBDF2_D * h
+
+    def newton(res_fn, w0):
+        """Stage solve: frozen-Jacobian iteration first (one shared
+        factorization), escalating to full Newton — fresh ``J(w)`` and
+        refactorization per iteration, exactly as the implicit-Euler path
+        does throughout — when the frozen iteration stalls or blows up
+        (strongly nonlinear flows at large ``rho*h``)."""
+
+        def cond(carry):
+            _, i, err = carry
+            return jnp.logical_and(i < NEWTON_MAX_IT, err > NEWTON_TOL_FACTOR)
+
+        def frozen_body(carry):
+            w, i, err = carry
+            dw = plu_solve(fact, res_fn(w))
+            w = w - dw
+            return (w, i + 1, _scaled_norm(dw, w, rtol, atol))
+
+        def full_body(carry):
+            w, i, err = carry
+            Jw = fl.rhs_jac(ctx, w, rho, filter)
+            A = jnp.eye(n_all, dtype=z.dtype) - dh * Jw
+            dw = plu_solve(plu_factor(A), res_fn(w))
+            w = w - dw
+            return (w, i + 1, _scaled_norm(dw, w, rtol, atol))
+
+        init = (w0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, z.dtype))
+        w, iters, err = jax.lax.while_loop(cond, frozen_body, init)
+        ok = jnp.logical_and(err <= 1.0, jnp.all(jnp.isfinite(w)))
+
+        def escalate(_):
+            wf, itf, errf = jax.lax.while_loop(cond, full_body, init)
+            okf = jnp.logical_and(errf <= 1.0, jnp.all(jnp.isfinite(wf)))
+            return wf, okf, iters + itf
+
+        return jax.lax.cond(ok, lambda _: (w, ok, iters), escalate, None)
+
+    # TR stage: w1 = z + d*h*(f(z) + f(w1))
+    w1, ok1, it1 = newton(
+        lambda w: w - z - dh * (fz + fl.rhs(ctx, w, rho, filter)),
+        z + TRBDF2_GAMMA * h * fz,
+    )
+    f1 = fl.rhs(ctx, w1, rho, filter)
+
+    # BDF2 stage: w = az*z + aw*w1 + d*h*f(w)
+    base = TRBDF2_AZ * z + TRBDF2_AW * w1
+    w, ok2, it2 = newton(
+        lambda ww: ww - base - dh * fl.rhs(ctx, ww, rho, filter),
+        base + dh * f1,
+    )
+    fw = fl.rhs(ctx, w, rho, filter)
+
+    # embedded 3rd-order error estimate, filtered through M^{-1} so the
+    # stiff components don't dominate (Hosea-Shampine)
+    est = (h / 3.0) * (TRBDF2_E1 * fz + TRBDF2_E2 * f1 + TRBDF2_E3 * fw)
+    est = plu_solve(fact, est)
+
+    ok = jnp.logical_and(ok1, ok2)
+    return w, ok, it1 + it2, est
 
 
 class SegmentResult(NamedTuple):
@@ -72,14 +170,20 @@ class SegmentResult(NamedTuple):
     num_newton: Any
 
 
-def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_000):
+def make_segment_runner(
+    cfg: ev.EventCfg,
+    method: IntegrationMethod = IntegrationMethod.TRBDF2,
+    rtol=1e-6,
+    atol=1e-9,
+    max_steps=300_000,
+):
     """Build the jitted segment integrator for a fixed event configuration."""
     ctx = cfg.ctx
 
-    def step_with_error(z, h, rho, filter):
-        w_full, ok1 = implicit_euler_step(ctx, z, h, rho, filter, rtol, atol)
-        w_half, ok2 = implicit_euler_step(ctx, z, 0.5 * h, rho, filter, rtol, atol)
-        w_two, ok3 = implicit_euler_step(ctx, w_half, 0.5 * h, rho, filter, rtol, atol)
+    def euler_step_with_error(z, h, rho, filter):
+        w_full, ok1, n1 = implicit_euler_step(ctx, z, h, rho, filter, rtol, atol)
+        w_half, ok2, n2 = implicit_euler_step(ctx, z, 0.5 * h, rho, filter, rtol, atol)
+        w_two, ok3, n3 = implicit_euler_step(ctx, w_half, 0.5 * h, rho, filter, rtol, atol)
 
         err_ratio = _scaled_norm(w_two - w_full, w_two, rtol, atol)
 
@@ -94,7 +198,26 @@ def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_00
         factor = jnp.clip(factor, 0.2, 5.0)
         factor = jnp.where(ok, factor, 0.5)
 
-        return w_acc, accept, factor
+        return w_acc, accept, factor, n1 + n2 + n3
+
+    def trbdf2_step_with_error(z, h, rho, filter):
+        w, ok, iters, est = trbdf2_step(ctx, z, h, rho, filter, rtol, atol)
+
+        err_ratio = _scaled_norm(est, w, rtol, atol)
+        accept = jnp.logical_and(ok, err_ratio <= 1.0)
+
+        # 3rd-order estimate of an order-2 method: err ~ h^3
+        factor = jnp.where(err_ratio > 0.0, 0.9 * err_ratio ** (-1.0 / 3.0), 5.0)
+        factor = jnp.clip(factor, 0.2, 5.0)
+        factor = jnp.where(ok, factor, 0.5)
+
+        return w, accept, factor, iters
+
+    step_with_error = (
+        trbdf2_step_with_error
+        if method == IntegrationMethod.TRBDF2
+        else euler_step_with_error
+    )
 
     def run(t0, z0, h0, rho, filter, grad_dirs, t_end):
         dirs = ev.event_directions(cfg, filter, grad_dirs)
@@ -118,7 +241,7 @@ def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_00
 
         def body(c):
             h = jnp.minimum(c["h"], t_end - c["t"])
-            w, accept, factor = step_with_error(c["z"], h, rho, filter)
+            w, accept, factor, n_newton = step_with_error(c["z"], h, rho, filter)
 
             new_vals = ev.event_values(cfg, w, rho, filter, grad_dirs)
             crossed = ev.crossings(c["vals"], new_vals, dirs)
@@ -136,7 +259,12 @@ def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_00
                     1,
                     jnp.where(
                         jnp.logical_or(
-                            c["steps"] >= max_steps, h <= 1e-13 * jnp.maximum(1.0, c["t"])
+                            # underflow test on the CONTROLLER step, not the
+                            # t_end-clamped one: h == t_end - t tiny is a
+                            # normal final step, not a breakdown.  Threshold
+                            # ~16*eps*t (scipy-style): below that t+h == t.
+                            c["steps"] >= max_steps,
+                            c["h"] <= 3.6e-15 * jnp.maximum(1.0, c["t"]),
                         ),
                         2,
                         -1,
@@ -154,7 +282,7 @@ def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_00
                 crossed=jnp.where(accept, crossed, c["crossed"]),
                 status=status,
                 steps=c["steps"] + 1,
-                newtons=c["newtons"] + 3 * NEWTON_MAX_IT,
+                newtons=c["newtons"] + n_newton,
             )
 
         out = jax.lax.while_loop(cond, body, init)
@@ -170,12 +298,19 @@ def make_segment_runner(cfg: ev.EventCfg, rtol=1e-6, atol=1e-9, max_steps=300_00
             num_newton=out["newtons"],
         )
 
-    step_fn = jax.jit(
-        lambda z, h, rho, filter: implicit_euler_step(
-            ctx, z, h, rho, filter, rtol, atol
-        )
-    )
-    return jax.jit(run), step_fn
+    if method == IntegrationMethod.TRBDF2:
+
+        def single(z, h, rho, filter):
+            w, ok, _, _ = trbdf2_step(ctx, z, h, rho, filter, rtol, atol)
+            return w, ok
+
+    else:
+
+        def single(z, h, rho, filter):
+            w, ok, _ = implicit_euler_step(ctx, z, h, rho, filter, rtol, atol)
+            return w, ok
+
+    return jax.jit(run), jax.jit(single)
 
 
 def bisect_event(cfg, step_fn, run_vals, t_prev, z_prev, t_cur, rho, filter, grad_dirs, max_bisect=50):

@@ -112,6 +112,24 @@ class DerivCheck(Flag):
     CheckAll = CheckFirst | CheckSecond
 
 
+class IntegrationMethod(Enum):
+    """Stepper used by the IntegrationSolver's segment integrator.
+
+    The reference delegates to scipy BDF
+    (``pygradflow/integration/integration_solver.py:278-285``); the
+    TPU-native engine ships two fully jitted one-step methods."""
+
+    TRBDF2 = auto()
+    """L-stable one-step TR-BDF2 (trapezoidal + BDF2 composite, order 2
+    with an embedded 3rd-order error estimate); one Jacobian
+    factorization per attempted step.  Default."""
+
+    ImplicitEuler = auto()
+    """Step-doubled implicit Euler with Richardson extrapolation; three
+    full-Newton solves per attempted step.  Slower but maximally
+    robust."""
+
+
 class ScalingType(Enum):
     """Problem scaling strategy (reference ``pygradflow/scale.py:233-280``)."""
 
@@ -221,6 +239,18 @@ class Params:
 
     newton_max_it: int = 10
     """Maximum inner Newton iterations of the Exact controller."""
+
+    integration_method: IntegrationMethod = IntegrationMethod.TRBDF2
+    """One-step method of the IntegrationSolver's segment integrator."""
+
+    integration_rtol: float = 1e-6
+    integration_atol: float = 1e-9
+    """Local error tolerances of the adaptive segment integrator
+    (scipy-style per-component scale ``atol + rtol*|z|``, matching the
+    reference's BDF call in ``integration_solver.py:278-285``)."""
+
+    integration_max_steps: int = 300_000
+    """Hard cap on attempted steps per integration segment."""
 
     linesearch_max_it: int = 30
     """Maximum Armijo backtracking trials of the globalized Newton method."""

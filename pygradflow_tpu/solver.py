@@ -641,6 +641,17 @@ class Solver:
         if params.collect_path:
             buf, times, length = state.path
             length = int(length)
+            # initial point + one entry per accepted step unless the ring
+            # stopped recording at capacity (the reference path is
+            # unbounded, solver.py:333-340) — tell the user it's truncated
+            if int(accepted_steps) + 1 > length:
+                logger.warning(
+                    "Trajectory truncated: %d accepted steps exceed "
+                    "path_capacity=%d; raise Params.path_capacity to "
+                    "record the full path",
+                    int(accepted_steps),
+                    params.path_capacity,
+                )
             result._set_path(
                 np.asarray(buf[:length]).T, np.asarray(times[:length])
             )

@@ -100,6 +100,60 @@ def test_solve_hs71(integration_params):
     np.testing.assert_allclose(result.y, inst.y_opt, atol=1e-6)
 
 
+def test_hs71_segment_anchor_and_counters(integration_params):
+    """Behavioral anchor: HS71 = 10 segments (same as the reference's BDF
+    engine), and the Newton counter reflects actual iterations (strictly
+    between one per step and the hard cap of the old fake accounting)."""
+    inst = hs71_instance()
+    result = IntegrationSolver(inst.problem, integration_params).solve(
+        inst.x_0, inst.y_0
+    )
+    assert result.success
+    assert result.iterations == 10
+    steps = result.num_integration_steps
+    newtons = result.num_newton_steps
+    assert steps > 0
+    assert steps < newtons < 24 * steps  # 24 = 3 solves x NEWTON_MAX_IT
+
+
+def test_implicit_euler_method(integration_params):
+    """The step-doubled implicit-Euler fallback stays selectable and hits
+    the same segment anchor, at a much higher step count than TR-BDF2."""
+    from pygradflow_tpu import IntegrationMethod
+
+    inst = hs71_instance()
+    params = Params(
+        iteration_limit=1000,
+        rho=1e-2,
+        integration_method=IntegrationMethod.ImplicitEuler,
+    )
+    result = IntegrationSolver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.success
+    assert result.iterations == 10
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-6)
+
+    trbdf2 = IntegrationSolver(inst.problem, integration_params).solve(
+        inst.x_0, inst.y_0
+    )
+    assert trbdf2.num_integration_steps < result.num_integration_steps
+
+
+def test_integration_tolerances_from_params():
+    """integration_rtol/atol are live: loosening them cuts step counts."""
+    inst = tame_instance()
+    tight = IntegrationSolver(
+        inst.problem,
+        Params(iteration_limit=1000, rho=1e-2, integration_rtol=1e-9, integration_atol=1e-12),
+    ).solve(inst.x_0, inst.y_0)
+    loose = IntegrationSolver(
+        inst.problem,
+        Params(iteration_limit=1000, rho=1e-2, integration_rtol=1e-4, integration_atol=1e-7),
+    ).solve(inst.x_0, inst.y_0)
+    assert tight.success and loose.success
+    assert loose.num_integration_steps < tight.num_integration_steps
+    np.testing.assert_allclose(tight.x, inst.x_opt, atol=1e-6)
+
+
 def test_integration_collect_path(integration_params):
     params = Params(iteration_limit=1000, rho=1e-2, collect_path=True)
     result = IntegrationSolver(SimpleProblem(), params).solve(
