@@ -206,9 +206,12 @@ def make_segment_runner(
         err_ratio = _scaled_norm(est, w, rtol, atol)
         accept = jnp.logical_and(ok, err_ratio <= 1.0)
 
-        # 3rd-order estimate of an order-2 method: err ~ h^3
-        factor = jnp.where(err_ratio > 0.0, 0.9 * err_ratio ** (-1.0 / 3.0), 5.0)
-        factor = jnp.clip(factor, 0.2, 5.0)
+        # 3rd-order estimate of an order-2 method: err ~ h^3.  Growth cap
+        # 10 (vs 5 for the Euler path): the embedded estimate is reliable
+        # enough to ramp aggressively out of the conservative post-event
+        # restart, and rejections cost only one factorization here.
+        factor = jnp.where(err_ratio > 0.0, 0.9 * err_ratio ** (-1.0 / 3.0), 10.0)
+        factor = jnp.clip(factor, 0.2, 10.0)
         factor = jnp.where(ok, factor, 0.5)
 
         return w, accept, factor, iters
