@@ -158,14 +158,16 @@ def main():
     if B:
         results["batched"] = bench_batched(inter, N, B)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"pendulum-control N={N} (KKT {n + m}) ms/outer-iteration",
-                "results": results,
-            }
-        )
-    )
+    from baseline_cache import load_baseline, write_artifact
+
+    ref = load_baseline("control_pendulum")
+    payload = {
+        "metric": f"pendulum-control N={N} (KKT {n + m}) ms/outer-iteration",
+        "results": results,
+        "reference": ref if (ref and ref.get("N") == N) else None,
+    }
+    write_artifact("r2_control.json", payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,12 @@ def run_ours(x0s):
 
 
 def run_baseline(x0s):
+    from baseline_cache import load_baseline
+
+    cached = load_baseline("hs71")
+    if cached and cached.get("solves_per_sec"):
+        return cached["solves_per_sec"]
+
     ref = "/root/reference"
     if not os.path.isdir(ref):
         return None
@@ -80,17 +86,18 @@ def main():
     except Exception:
         baseline = None
 
-    print(
-        json.dumps(
-            {
-                "metric": f"batched HS71 solves/sec (B={BATCH})",
-                "value": round(solves_per_sec, 3),
-                "unit": "solves/sec",
-                "success_fraction": round(float(frac), 4),
-                "vs_baseline": round(solves_per_sec / baseline, 3) if baseline else None,
-            }
-        )
-    )
+    payload = {
+        "metric": f"batched HS71 solves/sec (B={BATCH})",
+        "value": round(solves_per_sec, 3),
+        "unit": "solves/sec",
+        "success_fraction": round(float(frac), 4),
+        "vs_baseline": round(solves_per_sec / baseline, 3) if baseline else None,
+        "baseline_solves_per_sec": baseline,
+    }
+    from baseline_cache import write_artifact
+
+    write_artifact("r2_hs.json", payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

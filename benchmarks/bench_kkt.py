@@ -71,6 +71,8 @@ def time_scipy(A, b, reps=20):
 
 
 def main():
+    from baseline_cache import load_baseline, write_artifact
+
     sizes = [int(s) for s in sys.argv[1:]] or [128, 256, 512, 1024]
     rng = np.random.default_rng(0)
 
@@ -80,19 +82,40 @@ def main():
         ("pallas_ldlt", LinearSolverType.PallasLDLT),
     ]
 
+    cached_scipy = (load_baseline("kkt") or {}).get("scipy_splu_ms_per_iter", {})
+    rows = []
     for size in sizes:
         n = int(size * 0.75)
         m = size - n
         A = jnp.asarray(make_kkt(n, m, rng))
         b = jnp.asarray(rng.standard_normal(size))
         print(f"KKT size {size} (n={n}, m={m}) on {jax.devices()[0].platform}:")
+        row = {"size": size, "n": n, "m": m, "platform": jax.devices()[0].platform}
         for name, lst in backends:
             try:
                 lin = linear_solver(lst, symmetric=True)
-                time_backend(name, lin, A, b)
+                row[f"{name}_ms"] = time_backend(name, lin, A, b)
             except Exception as e:
                 print(f"  {name:>12s}: FAILED ({str(e)[:60]})")
-        time_scipy(A, b)
+                row[f"{name}_ms"] = None
+        if str(size) in cached_scipy:
+            row["scipy_splu_ms"] = cached_scipy[str(size)]
+            print(
+                f"  {'scipy-splu':>12s}: {row['scipy_splu_ms']:8.2f} ms/iter"
+                "   (cached measured baseline)"
+            )
+        else:
+            row["scipy_splu_ms"] = time_scipy(A, b)
+        best = min(
+            (row[f"{nm}_ms"] for nm, _ in backends if row.get(f"{nm}_ms")),
+            default=None,
+        )
+        if best and row["scipy_splu_ms"]:
+            row["speedup_vs_scipy"] = row["scipy_splu_ms"] / best
+        rows.append(row)
+
+    out = write_artifact("r2_kkt.json", rows)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

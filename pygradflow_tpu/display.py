@@ -64,15 +64,19 @@ def _bool_cell(width):
 
 
 class Display:
-    def __init__(self, columns, interval=0.1):
+    def __init__(self, columns, interval=0.1, level=None, indent=""):
+        import logging
+
         self.columns = columns
         self.interval = interval
+        self.level = logging.INFO if level is None else level
+        self.indent = indent
         self._rows_since_header = 0
         self._last_time = 0.0
 
     @property
     def header(self):
-        return " ".join(c.header() for c in self.columns)
+        return self.indent + " ".join(c.header() for c in self.columns)
 
     def should_display(self):
         now = time.time()
@@ -83,13 +87,13 @@ class Display:
 
     def row(self, values: dict):
         if self._rows_since_header % HEADER_INTERVAL == 0:
-            logger.info(self.header)
+            logger.log(self.level, self.header)
         self._rows_since_header += 1
         cells = []
         for c in self.columns:
             v = values.get(c.name, None)
             cells.append(c.cell(v) if v is not None else " " * c.width)
-        logger.info(" ".join(cells))
+        logger.log(self.level, self.indent + " ".join(cells))
 
 
 def solver_display(num_cons: int, params) -> Display:
@@ -115,6 +119,20 @@ def solver_display(num_cons: int, params) -> Display:
         cols.append(Column("rcond", 12, "{:{w}.4e}"))
     cols.append(Column("accept", 8, _bool_cell(8)))
     return Display(cols, interval=params.display_interval)
+
+
+def inner_display(params) -> Display:
+    """Per-inner-Newton-iteration rows at DEBUG level (reference
+    ``display.py:307-315``), indented under the outer row."""
+    import logging
+
+    cols = [
+        Column("inner", 6, "{:>{w}d}"),
+        Column("residuum", 16, "{:{w}.8e}"),
+        Column("dist", 16, "{:{w}.8e}"),
+        Column("active", 10, "{:>{w}d}"),
+    ]
+    return Display(cols, interval=0.0, level=logging.DEBUG, indent="     ")
 
 
 def integrator_display(num_cons: int, params) -> Display:

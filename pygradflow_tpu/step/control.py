@@ -153,6 +153,44 @@ def _unscaled_func(cfg: ControlCfg, orig: Iterate, lamb):
     return impl.make_step_func(orig, lamb, cfg.lb, cfg.ub, scaled=False)
 
 
+def _inner_debug(cfg: ControlCfg):
+    """Per-inner-Newton-iteration DEBUG rows (reference
+    ``step_control.py:109-120`` + ``display.py:307-315``).
+
+    The gate is decided at TRACE time (params.display + log level), so the
+    compiled loop carries zero display work when off; when on, each inner
+    step posts (iter, residuum, dist, |active set|) to the host via
+    ``jax.debug.callback``."""
+    import logging
+
+    from ..log import logger
+
+    params = cfg.params
+    if not params.display or logger.getEffectiveLevel() > logging.DEBUG:
+        return None
+
+    from ..display import inner_display
+
+    disp = inner_display(params)
+
+    def show(i, res, dist, act):
+        disp.row(
+            {
+                "inner": int(i),
+                "residuum": float(res),
+                "dist": float(dist),
+                "active": int(act),
+            }
+        )
+
+    def emit(i, residuum, dist, active_set):
+        jax.debug.callback(
+            show, i, residuum, dist, jnp.sum(active_set.astype(jnp.int32))
+        )
+
+    return emit
+
+
 def _evaluate(cfg: ControlCfg, xn, yn, counters):
     it = evaluate_iterate(cfg.fns, xn, yn)
     return it, counters.add(**iterate_eval_counts(cfg.m))
@@ -165,6 +203,7 @@ def _evaluate(cfg: ControlCfg, xn, yn, counters):
 
 def _distance_ratio(cfg: ControlCfg):
     params = cfg.params
+    emit = _inner_debug(cfg)
 
     def step(orig: Iterate, lamb, rho, error_sum, counters):
         tau = compute_tau(cfg, orig, lamb, rho)
@@ -174,6 +213,8 @@ def _distance_ratio(cfg: ControlCfg):
         step1, carry, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
         mid_norm = impl.value_norm(func, mid_it, rho)
+        if emit is not None:
+            emit(0, mid_norm, step1.diff, step1.active_set)
 
         conv1 = mid_norm <= params.newton_tol
         zero1 = step1.diff == 0.0
@@ -200,6 +241,13 @@ def _distance_ratio(cfg: ControlCfg):
         def full_branch(counters):
             step2, _, counters = cfg.newton_step(carry, mid_it, counters)
             fin_it, counters = _evaluate(cfg, step2.xn, step2.yn, counters)
+            if emit is not None:
+                emit(
+                    1,
+                    impl.value_norm(func, fin_it, rho),
+                    step2.diff,
+                    step2.active_set,
+                )
 
             zero2 = step2.diff == 0.0
             safe_d1 = jnp.where(zero1, 1.0, step1.diff)
@@ -240,6 +288,7 @@ def _distance_ratio(cfg: ControlCfg):
 
 def _residuum_ratio(cfg: ControlCfg):
     params = cfg.params
+    emit = _inner_debug(cfg)
 
     def step(orig: Iterate, lamb, rho, error_sum, counters):
         tau = compute_tau(cfg, orig, lamb, rho)
@@ -249,6 +298,8 @@ def _residuum_ratio(cfg: ControlCfg):
         step1, _, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
         mid_norm = impl.value_norm(func, mid_it, rho)
+        if emit is not None:
+            emit(0, mid_norm, step1.diff, step1.active_set)
 
         conv1 = mid_norm <= params.newton_tol
 
@@ -293,6 +344,7 @@ def _exact(cfg: ControlCfg):
     params = cfg.params
     max_num_it = params.newton_max_it
     rate_bound = 0.5
+    emit = _inner_debug(cfg)
 
     def step(orig: Iterate, lamb, rho, error_sum, counters):
         tau = compute_tau(cfg, orig, lamb, rho)
@@ -309,6 +361,8 @@ def _exact(cfg: ControlCfg):
             step_i, carry2, counters = cfg.newton_step(c["carry"], c["it"], counters)
             next_it, counters = _evaluate(cfg, step_i.xn, step_i.yn, counters)
             next_val = impl.value_norm(func, next_it, rho)
+            if emit is not None:
+                emit(c["i"], next_val, step_i.diff, step_i.active_set)
 
             converged = next_val <= params.newton_tol
             rate_bad = next_val / jnp.where(c["val"] == 0.0, 1.0, c["val"]) > rate_bound
@@ -374,12 +428,16 @@ def _exact(cfg: ControlCfg):
 
 def _fixed(cfg: ControlCfg):
     params = cfg.params
+    emit = _inner_debug(cfg)
 
     def step(orig: Iterate, lamb, rho, error_sum, counters):
         tau = compute_tau(cfg, orig, lamb, rho)
         carry, counters = cfg.newton_init(orig, lamb, rho, tau, counters)
         step1, _, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
+        if emit is not None:
+            func = _unscaled_func(cfg, orig, lamb)
+            emit(0, impl.value_norm(func, mid_it, rho), step1.diff, step1.active_set)
         lamb_n = jnp.zeros_like(lamb) + params.lamb_init
         accepted = lamb_n == lamb_n  # varying True (see distance-ratio note)
         return ControlResult(

@@ -284,7 +284,7 @@ def test_collect_path_overflow_warns(caplog):
 
     inst = rosenbrock_instance()
     params = Params(collect_path=True, path_capacity=8)
-    with caplog.at_level(logging.WARNING, logger="pygradflow_tpu"):
+    with caplog.at_level(logging.WARNING, logger="gradflow_tpu"):
         result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
     assert result.success
     assert result.path.shape[1] == 8  # capped, first entries intact
