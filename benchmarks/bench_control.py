@@ -89,6 +89,14 @@ def main():
         if i + 1 >= len(sys.argv):
             sys.exit("error: --batch requires a value (number of instances)")
         B = int(sys.argv[i + 1])
+        argv.remove(sys.argv[i + 1]) if sys.argv[i + 1] in argv else None
+    only_tiers = None
+    if "--tiers" in sys.argv:
+        i = sys.argv.index("--tiers")
+        only_tiers = sys.argv[i + 1].split(",")
+        if sys.argv[i + 1] in argv:
+            argv.remove(sys.argv[i + 1])
+        N = int(argv[0]) if argv else 256
 
     flat = PendulumControl(N=N)
     inter = PendulumControlInterleaved(N=N)
@@ -136,6 +144,9 @@ def main():
         ),
     }
 
+    if only_tiers is not None:
+        tiers = {k: v for k, v in tiers.items() if k in only_tiers}
+
     results = {}
     for tier, (problem, params) in tiers.items():
         solver = Solver(problem, params)
@@ -158,7 +169,16 @@ def main():
     if B:
         results["batched"] = bench_batched(inter, N, B)
 
-    from baseline_cache import load_baseline, write_artifact
+    from baseline_cache import ART, load_baseline, write_artifact
+
+    # merge with a prior partial run (--tiers chunks the sweep so each
+    # invocation stays inside the watchdog budget)
+    prior = os.path.join(ART, "r2_control.json")
+    if only_tiers is not None and os.path.exists(prior):
+        with open(prior) as f:
+            old = json.load(f)
+        if old.get("metric", "").startswith(f"pendulum-control N={N}"):
+            results = {**old.get("results", {}), **results}
 
     ref = load_baseline("control_pendulum")
     payload = {

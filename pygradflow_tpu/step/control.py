@@ -466,10 +466,14 @@ def make_controller(cfg: ControlCfg):
         return _exact(cfg)
     elif sct == StepControlType.Fixed:
         return _fixed(cfg)
-    elif sct in (StepControlType.BoxReduced, StepControlType.Optimizing):
+    elif sct == StepControlType.BoxReduced:
         from .box_control import make_box_reduced
 
         return make_box_reduced(cfg)
+    elif sct == StepControlType.Optimizing:
+        from .opti_control import make_optimizing
+
+        return make_optimizing(cfg)
     raise ValueError(f"Unknown step control type {sct}")
 
 

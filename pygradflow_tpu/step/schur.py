@@ -105,11 +105,12 @@ def schur_def(
     has_pallas = lin is not None and lin.name == "pallas_ldlt"
     use_lin = dual_block is None and has_pallas
     use_btd = dual_block is not None
-    # mixed precision: f32 block inverses / band assembly / cyclic
-    # reduction (f64 einsums on TPU lower to ~8-pass bf16 emulation
-    # loops that dominate long-horizon factors), f64 accuracy recovered
-    # by iterative refinement on the masked saddle system in solve()
-    mixed = use_btd and has_pallas
+    # mixed precision: f32 block inverses / Schur assembly / elimination
+    # (f64 einsums and GEMMs on TPU lower to ~8-pass bf16 emulation loops
+    # that dominate the factor cost), f64 accuracy recovered by iterative
+    # refinement on the masked saddle system in solve().  Applied to both
+    # Pallas-backed dual tiers: dense (use_lin) and block-tridiag (use_btd)
+    mixed = has_pallas and (use_lin or use_btd)
 
     def factor(func: impl.StepFunc, H, J, active, rho):
         lamb = func.lamb
@@ -154,7 +155,9 @@ def schur_def(
             upper = -jnp.einsum("rqn,nrp->rqp", jb[:-1], ab[:, 1:])
             s_fact = bcr_factor(diag, upper)
         elif use_lin:
-            S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt
+            # lamb is a traced f64 scalar; build the diagonal block in f64
+            # (O(m^2) trivia) and cast so the big GEMM stays in f32
+            S = _lower_block(m, lamb, rho, dtype).astype(work_dtype) - Jmw @ ainv_jt
             s_fact = lin.factor(S)
         else:
             S = _lower_block(m, lamb, rho, dtype) - Jm @ ainv_jt

@@ -1,0 +1,73 @@
+"""Device-resident integration loop + batched continuous solves.
+
+The whole continuous-homotopy solve (segments, bisection, event
+dispatch) runs as one traced function (``integration/device_loop.py``),
+vmapped over instances — the reference's scipy-BDF engine has no batched
+counterpart, and the host driver re-enters Python per segment."""
+
+import numpy as np
+
+from pygradflow_tpu import Params, SolverStatus
+from pygradflow_tpu.integration import BatchedIntegrationSolver, IntegrationSolver
+
+from tests.problems import hs71_instance, tame_instance
+
+
+def _params():
+    return Params(iteration_limit=1000, rho=1e-2)
+
+
+def test_device_loop_matches_host_driver():
+    """Lane 0 from the canonical start must reproduce the host driver's
+    event sequence exactly (HS71 anchor: 10 segments, Optimal)."""
+    inst = hs71_instance()
+    params = _params()
+
+    host = IntegrationSolver(inst.problem, params).solve(inst.x_0, inst.y_0)
+
+    batched = BatchedIntegrationSolver(inst.problem, params)
+    res = batched.solve(inst.x_0[None, :], inst.y_0[None, :])
+
+    assert int(res.status[0]) == int(host.status)
+    assert int(res.iterations[0]) == host.iterations == 10
+    np.testing.assert_allclose(res.x[0], host.x, atol=1e-8)
+    np.testing.assert_allclose(res.y[0], host.y, atol=1e-8)
+
+
+def test_batched_lanes_diverge_independently():
+    """Perturbed lanes follow different event sequences (different
+    segment counts) yet all converge to the optimum in one lockstep
+    solve."""
+    inst = hs71_instance()
+    b = BatchedIntegrationSolver(inst.problem, _params())
+
+    x0s = np.tile(inst.x_0, (4, 1))
+    x0s[1, 1] = 4.5
+    x0s[2, 2] = 4.0
+    x0s[3, 0] = 2.0
+    res = b.solve(x0s, np.tile(inst.y_0, (4, 1)))
+
+    assert res.success.all()
+    assert len(set(res.iterations.tolist())) > 1  # genuinely divergent paths
+    np.testing.assert_allclose(
+        res.x, np.tile(inst.x_opt, (4, 1)), atol=1e-6
+    )
+
+
+def test_batched_tame_matches_reference_segments():
+    inst = tame_instance()
+    b = BatchedIntegrationSolver(inst.problem, _params())
+    res = b.solve(np.tile(inst.x_0, (2, 1)), np.tile(inst.y_0, (2, 1)))
+    assert res.success.all()
+    # same segment count as the reference BDF engine (13, see
+    # benchmarks/artifacts/r2_integration.json)
+    assert res.iterations.tolist() == [13, 13]
+    np.testing.assert_allclose(res.x, np.tile(inst.x_opt, (2, 1)), atol=1e-8)
+
+
+def test_batched_iteration_limit():
+    inst = hs71_instance()
+    b = BatchedIntegrationSolver(inst.problem, Params(iteration_limit=2, rho=1e-2))
+    res = b.solve(inst.x_0[None, :], inst.y_0[None, :])
+    assert int(res.status[0]) == int(SolverStatus.IterationLimit)
+    assert int(res.iterations[0]) == 2

@@ -175,3 +175,31 @@ def test_pendulum_schur_btd_mixed_precision():
     np.testing.assert_allclose(
         np.asarray(r_mixed.x), np.asarray(r_dense.x), rtol=1e-8, atol=1e-9
     )
+
+
+def test_pendulum_schur_dense_dual_mixed_precision():
+    """The DENSE dual tier with PallasLDLT now also runs f32 block
+    inverses/assembly/elimination with f64 saddle refinement (the f64
+    GEMMs it replaced lower to slow bf16-emulation passes on TPU); the
+    trajectory must still match the all-f64 dense Schur path."""
+    from pygradflow_tpu import LinearSolverType
+    from pygradflow_tpu.runners.control import PendulumControlInterleaved
+
+    p = PendulumControlInterleaved(N=16)
+    x0 = p.x0_trajectory()
+    common = dict(
+        step_solver_type=StepSolverType.Schur,
+        schur_block_size=3,
+        validate_input=False,
+    )
+    r_dense = Solver(p, Params(**common)).solve(x0)
+    r_mixed = Solver(
+        p,
+        Params(linear_solver_type=LinearSolverType.PallasLDLT, **common),
+    ).solve(x0)
+
+    assert r_dense.status == r_mixed.status
+    assert r_dense.iterations == r_mixed.iterations
+    np.testing.assert_allclose(
+        np.asarray(r_mixed.x), np.asarray(r_dense.x), rtol=1e-8, atol=1e-9
+    )
