@@ -166,7 +166,10 @@ def _spawned_solve(runner_cls, argv, index, conn):
     # starts its kill clock on this marker
     conn.send(("started", None))
     try:
-        result = instance.solve(params)
+        import numpy as np
+
+        with np.errstate(divide="raise", over="raise", invalid="raise"):
+            result = instance.solve(params)
         payload = Outcome("solved", result).row(instance)
     except Exception as exc:  # noqa: BLE001 — any failure = error row
         logger.error("Error solving %s", instance.name, exc_info=exc)
@@ -241,6 +244,13 @@ class Runner(ABC):
             "isolated subprocess with a hard kill at the time limit "
             "(CPU backend; 0 = sequential in-process)",
         )
+        sweep.add_argument(
+            "--debug_nans",
+            action="store_true",
+            help="enable jax_debug_nans: raise at the first NaN produced "
+            "on device (debugging only — the solver's failure recovery "
+            "normally converts NaNs into rejected steps)",
+        )
         return parser
 
     def select_instances(self, args):
@@ -269,11 +279,21 @@ class Runner(ABC):
 
     def _solve_in_process(self, instance, params, args):
         """Sequential-mode solve of one instance under the SIGALRM
-        watchdog."""
+        watchdog and the numeric sanitizer."""
+        import numpy as np
+
         _route_instance_log(self.instance_log_path(args, instance), args.verbose)
         limit = getattr(params, "time_limit", None)
         try:
-            with _Watchdog(limit):
+            # host-side FP anomalies (instance setup, user callbacks run
+            # through pure_callback) become exceptions per instance, the
+            # analog of the reference's np.seterr (runner.py:42).  Device
+            # NaNs stay non-raising by contract (they feed the solver's
+            # reject-and-double-lambda recovery); --debug_nans opts into
+            # jax's NaN checker for debugging runs.
+            with _Watchdog(limit), np.errstate(
+                divide="raise", over="raise", invalid="raise"
+            ):
                 return Outcome("solved", instance.solve(params))
         except InstanceTimeout:
             logger.error("Instance %s hit the %gs watchdog", instance.name, limit)
@@ -355,6 +375,11 @@ class Runner(ABC):
 
         argv = list(sys.argv[1:]) if argv is None else list(argv)
         args = self.parser().parse_args(argv)
+
+        if args.debug_nans:
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
 
         if not args.no_output and args.output is None:
             stamp = datetime.datetime.now().isoformat("T", "seconds")
