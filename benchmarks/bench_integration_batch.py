@@ -1,0 +1,82 @@
+"""Batched continuous-flow throughput: HS71 instances solved in lockstep
+by the device-resident integration loop (``BatchedIntegrationSolver``).
+
+The reference's scipy-BDF IntegrationSolver is sequential per instance;
+its measured single-instance rate is the baseline
+(``benchmarks/artifacts/baseline_reference.json`` has the discrete-engine
+rate; the continuous engine is slower still, so this comparison is
+conservative when it reuses the wall-clock of ``r2_integration.json``).
+
+Usage: python benchmarks/bench_integration_batch.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+
+
+def main():
+    from baseline_cache import ART, write_artifact
+
+    from pygradflow_tpu import Params
+    from pygradflow_tpu.integration import BatchedIntegrationSolver
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests")
+    )
+    from problems import hs71_instance
+
+    inst = hs71_instance()
+    rng = np.random.default_rng(7)
+    lo = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
+    hi = np.array([5.0, 5.0, 5.0, 5.0, 2.0])
+    x0s = np.clip(
+        inst.x_0[None, :] + rng.uniform(-0.5, 0.5, size=(BATCH, 5)), lo, hi
+    )
+    y0s = np.tile(inst.y_0, (BATCH, 1))
+
+    solver = BatchedIntegrationSolver(
+        inst.problem, Params(iteration_limit=1000, rho=1e-2)
+    )
+    res = solver.solve(x0s, y0s)  # warm-up/compile
+    t0 = time.perf_counter()
+    res = solver.solve(x0s, y0s)
+    wall = time.perf_counter() - t0
+
+    frac = float(res.success.mean())
+    rate = BATCH / wall
+
+    # reference continuous-engine wall-clock for the SAME problem
+    ref_wall = None
+    try:
+        with open(os.path.join(ART, "r2_integration.json")) as f:
+            for row in json.load(f):
+                if row["problem"] == "hs71" and row["engine"] == "reference/BDF":
+                    ref_wall = row["wall_s"]
+    except Exception:
+        pass
+
+    payload = {
+        "metric": f"batched continuous-flow HS71 solves/sec (B={BATCH})",
+        "value": round(rate, 3),
+        "unit": "solves/sec",
+        "success_fraction": round(frac, 4),
+        "wall_s": round(wall, 3),
+        "max_segments": int(np.max(res.iterations)),
+        "vs_baseline": round(rate * ref_wall, 3) if ref_wall else None,
+        "baseline_note": "reference scipy-BDF IntegrationSolver, sequential CPU "
+        f"({ref_wall}s/instance measured)" if ref_wall else None,
+    }
+    write_artifact("r2_integration_batch.json", payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

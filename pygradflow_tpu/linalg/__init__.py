@@ -142,9 +142,13 @@ def _pallas_ldlt() -> LinearSolver:
         packed = guard_factor(packed, mat)
         return (packed, mat)
 
-    def solve(fact, rhs, initial_sol=None):
+    def solve(fact, rhs, initial_sol=None, iters=3):
+        """``iters=0`` skips the f64 refinement (raw f32 back-solve) —
+        for callers that run their OWN outer refinement around this
+        solve (e.g. the mixed-precision Schur saddle refinement), where
+        the inner passes are redundant work."""
         packed, mat = fact
-        return refine_solve(packed, mat, rhs)
+        return refine_solve(packed, mat, rhs, iters=iters)
 
     def num_neg(fact):
         packed, _ = fact

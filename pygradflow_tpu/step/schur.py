@@ -204,7 +204,13 @@ def schur_def(
 
                 sy_ = bcr_solve(sf.s_fact, s_rhs)
             elif use_lin:
-                sy_ = lin.solve(sf.s_fact, s_rhs)
+                if mixed:
+                    # raw f32 back-solve: the outer saddle refinement
+                    # below recovers f64, the tier's inner refinement
+                    # passes would be redundant work
+                    sy_ = lin.solve(sf.s_fact, s_rhs, iters=0)
+                else:
+                    sy_ = lin.solve(sf.s_fact, s_rhs)
             else:
                 sy_ = ldlt_solve(sf.s_fact, s_rhs)
             return az - sf.ainv_jt @ sy_, sy_
@@ -223,8 +229,12 @@ def schur_def(
             jm64 = jnp.where(inact[None, :], f.jac, 0.0)
             mu = lamb * pfact
 
+            # two refinement passes: the f32 elimination gives ~1e-6
+            # relative error and each pass restores ~5-6 digits against
+            # the f64 saddle system; verified to reproduce the all-f64
+            # trajectory to 1e-8 (tests/test_schur.py)
             sx, sy = inner(rhs_x, rhs_y)
-            for _ in range(3):
+            for _ in range(2):
                 r_x = rhs_x - sf.m11 @ sx - jm64.T @ sy
                 r_y = rhs_y - jm64 @ sx + mu * sy
                 cx, cy = inner(r_x, r_y)
