@@ -104,6 +104,13 @@ class IntegrationSolver:
         if params.validate_input:
             validate_fns(self.fns, x, y)
 
+        if (
+            params.integration_device_loop
+            and not params.collect_path
+            and not params.display
+        ):
+            return self._solve_device(x, y)
+
         print_problem_stats(problem, problem.num_vars, problem.num_cons)
 
         rho = params.rho
@@ -274,6 +281,53 @@ class IntegrationSolver:
         if path is not None:
             result._set_path(np.hstack(path), np.hstack(path_times))
         return result
+
+    # ------------------------------------------------------------------
+
+    def _solve_device(self, x, y):
+        """Single-dispatch solve through the device-resident loop
+        (``Params.integration_device_loop``)."""
+        import jax
+
+        from .device_loop import make_device_loop
+
+        params = self.params
+        timer = Timer(params.time_limit)
+
+        if not hasattr(self, "_device_run"):
+            loop = make_device_loop(
+                self.cfg, self.fns, self.lb, self.ub, params,
+                self._run_segment, self._step_fn,
+            )
+
+            def full(x, y):
+                res = loop(x, y)
+                xr, yr = fl.split(self.ctx, res.z)
+                it = evaluate_iterate(self.fns, xr, yr)
+                d = bounds_dual(it, self.lb, self.ub, params.active_tol)
+                return res, (it.x, it.y, d)
+
+            self._device_run = jax.jit(full)
+
+        res, (xf, yf, d) = jax.device_get(self._device_run(x, y))
+
+        (xr, yr, dr) = self.transform.restore_sol(xf, yf, d)
+        direct = float(np.linalg.norm(np.concatenate([xf, yf]) - np.concatenate([np.asarray(x), np.asarray(y)])))
+        dist_factor = float(res.path_dist) / direct if direct != 0.0 else 1.0
+
+        return SolverResult(
+            self.problem,
+            xr,
+            yr,
+            dr,
+            SolverStatus(int(res.status)),
+            iterations=int(res.iterations),
+            num_accepted_steps=int(res.iterations),
+            total_time=timer.elapsed(),
+            dist_factor=dist_factor,
+            num_integration_steps=int(res.num_steps),
+            num_newton_steps=int(res.num_newtons),
+        )
 
     # ------------------------------------------------------------------
 

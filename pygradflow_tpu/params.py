@@ -252,6 +252,14 @@ class Params:
     integration_max_steps: int = 300_000
     """Hard cap on attempted steps per integration segment."""
 
+    integration_device_loop: bool = False
+    """Run the ENTIRE continuous solve (segments, event bisection,
+    filter/penalty switches) as one device-resident loop
+    (``integration/device_loop.py``) instead of the host-driven event
+    loop: one dispatch per solve instead of several per segment —
+    the latency path on accelerators behind slow links.  Incompatible
+    with ``collect_path`` and live display (host driver used then)."""
+
     linesearch_max_it: int = 30
     """Maximum Armijo backtracking trials of the globalized Newton method."""
 

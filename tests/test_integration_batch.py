@@ -71,3 +71,21 @@ def test_batched_iteration_limit():
     res = b.solve(inst.x_0[None, :], inst.y_0[None, :])
     assert int(res.status[0]) == int(SolverStatus.IterationLimit)
     assert int(res.iterations[0]) == 2
+
+
+def test_device_loop_param_single_instance():
+    """Params.integration_device_loop routes IntegrationSolver.solve
+    through the one-dispatch device loop, bitwise-matching the host
+    driver (including dist_factor)."""
+    inst = hs71_instance()
+    host = IntegrationSolver(inst.problem, _params()).solve(inst.x_0, inst.y_0)
+    dev = IntegrationSolver(
+        inst.problem,
+        Params(iteration_limit=1000, rho=1e-2, integration_device_loop=True),
+    ).solve(inst.x_0, inst.y_0)
+
+    assert dev.status == host.status
+    assert dev.iterations == host.iterations
+    np.testing.assert_array_equal(dev.x, host.x)
+    np.testing.assert_allclose(dev.dist_factor, host.dist_factor, rtol=1e-12)
+    assert dev.num_integration_steps == host.num_integration_steps
