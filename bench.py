@@ -56,9 +56,13 @@ def run_ours(x0s):
     warm = solver.solve(x0s)
     assert warm.success.all(), "warmup solve failed"
 
-    t0 = time.perf_counter()
-    res = solver.solve(x0s)
-    elapsed = time.perf_counter() - t0
+    # min over repeats: single timed runs right after compile can read up
+    # to ~2x slow through the TPU tunnel (async compile tail)
+    elapsed = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = solver.solve(x0s)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     assert res.success.all(), "bench solve failed"
     tol = 1e-2 if os.environ.get("BENCH_PRECISION") == "Single" else 1e-4

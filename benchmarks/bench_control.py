@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
@@ -153,9 +155,29 @@ def main():
         x0 = problem.x0_trajectory()
 
         r = solver.solve(x0)  # includes compile
-        t0 = time.perf_counter()
-        r = solver.solve(x0)
-        wall = time.perf_counter() - t0
+        # min over repeats: single timed runs right after compile read up
+        # to ~2x slow through the tunnel (async compile tail); the
+        # reference baseline is likewise best-of-3 (measure_baseline.py)
+        wall = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = solver.solve(x0)
+            wall = min(wall, time.perf_counter() - t0)
+
+        # marginal ms/iteration: subtract the fixed per-solve dispatch
+        # overhead (measured via a 2-iteration solve; ~2 host<->device
+        # round trips through the TPU tunnel, absent on locally attached
+        # chips) so the number reflects the actual per-iteration cost
+        p2 = dict(vars(params))
+        p2["iteration_limit"] = 2
+        short = Solver(problem, Params(**p2))
+        short.solve(x0)  # compile
+        w2 = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            short.solve(x0)
+            w2 = min(w2, time.perf_counter() - t0)
+        marginal = (wall - w2) / max(r.iterations - 2, 1) * 1e3
 
         per_iter = wall / max(r.iterations, 1) * 1e3
         results[tier] = dict(
@@ -163,6 +185,8 @@ def main():
             iterations=r.iterations,
             wall_s=round(wall, 3),
             ms_per_iter=round(per_iter, 2),
+            ms_per_iter_marginal=round(marginal, 2),
+            fixed_overhead_ms=round(w2 * 1e3, 1),
         )
         print(f"  {tier:>10s}: {results[tier]}", file=sys.stderr)
 

@@ -100,10 +100,12 @@ def run_ours(problem_name, method_name, repeats=3):
 
     problems = {"hs71": HS71, "tame": Tame}
     x0, y0 = _STARTS[problem_name]
+    device_loop = method_name.endswith("+device")
     params = Params(
         iteration_limit=1000,
         rho=1e-2,
-        integration_method=IntegrationMethod[method_name],
+        integration_method=IntegrationMethod[method_name.split("+")[0]],
+        integration_device_loop=device_loop,
     )
 
     solver = IntegrationSolver(problems[problem_name](), params)
@@ -133,7 +135,7 @@ def main():
             f"fev={ref['func_evals']:<6d} jev={ref['jac_evals']:<4d} "
             f"wall={ref['wall_s']*1e3:8.1f} ms"
         )
-        for method in ["TRBDF2", "ImplicitEuler"]:
+        for method in ["TRBDF2", "TRBDF2+device", "ImplicitEuler"]:
             ours = run_ours(prob, method)
             print(
                 f"{prob:<6s} ours/{method:<11s}{ours['status']:<8s} "

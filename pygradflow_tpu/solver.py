@@ -412,21 +412,27 @@ class SolveLoop:
         init is fused into the first chunk dispatch, the finalizer runs
         inside every chunk call, and only the packed scalar vector is
         fetched per chunk (~30 ms per round trip on the TPU tunnel).
-        Returns ``(state, fin, scalars_np)``; the solution arrays in
-        ``fin["sol"]`` are fetched by the caller only once at the end."""
+        Returns ``(state, fin, scalars_np, sol_np)`` — the solution
+        triple rides the same per-chunk fetch, so the caller pays no
+        extra round trip after the final chunk."""
         chunk = self.params.jit_chunk
         state, fin = self._first_chunk(x, y, jnp.asarray(chunk, jnp.int32))
         while True:
-            scalars = np.array(fin["scalars"])  # copy: mutated on TimeLimit
+            # ONE blocking fetch per chunk: scalars + solution arrays
+            # together (the sol triple is a few KB for single solves, so
+            # bundling it here saves the separate ~30 ms device_get the
+            # caller would otherwise pay after the final chunk)
+            fetched = jax.device_get({"scalars": fin["scalars"], "sol": fin["sol"]})
+            scalars = np.array(fetched["scalars"])  # copy: mutated on TimeLimit
             status = int(scalars[-1])
             if status != RUNNING:
-                return state, fin, scalars
+                return state, fin, scalars, fetched["sol"]
             if timer.reached_time_limit():
                 scalars[-1] = int(SolverStatus.TimeLimit)
                 state = state._replace(
                     status=jnp.asarray(int(SolverStatus.TimeLimit), jnp.int32)
                 )
-                return state, fin, scalars
+                return state, fin, scalars, fetched["sol"]
             state, fin = self._next_chunk(state, state.iteration + chunk, x, y)
 
     def run(self, state: LoopState, timer: Timer, ckpt=None) -> LoopState:
@@ -521,13 +527,13 @@ class Solver:
                 state0 = ckpt.restore(state0)
             state = loop.run(state0, timer, ckpt)
             fin = loop._finalize(state, x, y)
-            return state, fin, np.asarray(fin["scalars"])
+            return state, fin, np.asarray(fin["scalars"]), None
 
         if params.profile_dir:
             with jax.profiler.trace(params.profile_dir):
-                state, fin, scalars = drive()
+                state, fin, scalars, sol_np = drive()
         else:
-            state, fin, scalars = drive()
+            state, fin, scalars, sol_np = drive()
 
         total_time = timer.elapsed()
 
@@ -593,7 +599,7 @@ class Solver:
                 f"{params.lamb_max} (incorrect derivatives?)"
             )
 
-        (x_r, y_r, d_r) = jax.device_get(fin["sol"])
+        (x_r, y_r, d_r) = sol_np if sol_np is not None else jax.device_get(fin["sol"])
         dist_factor = path_dist / direct_dist if direct_dist != 0.0 else 1.0
 
         from .eval import Component
