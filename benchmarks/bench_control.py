@@ -195,22 +195,24 @@ def main():
 
     from baseline_cache import ART, load_baseline, write_artifact
 
+    artifact = "r2_control.json" if N == 256 else f"r2_control_{N}.json"
+
     # merge with a prior partial run (--tiers chunks the sweep so each
     # invocation stays inside the watchdog budget)
-    prior = os.path.join(ART, "r2_control.json")
+    prior = os.path.join(ART, artifact)
     if only_tiers is not None and os.path.exists(prior):
         with open(prior) as f:
             old = json.load(f)
         if old.get("metric", "").startswith(f"pendulum-control N={N}"):
             results = {**old.get("results", {}), **results}
 
-    ref = load_baseline("control_pendulum")
+    ref = load_baseline(f"control_pendulum_{N}") or load_baseline("control_pendulum")
     payload = {
         "metric": f"pendulum-control N={N} (KKT {n + m}) ms/outer-iteration",
         "results": results,
         "reference": ref if (ref and ref.get("N") == N) else None,
     }
-    write_artifact("r2_control.json", payload)
+    write_artifact(artifact, payload)
     print(json.dumps(payload))
 
 

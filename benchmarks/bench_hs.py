@@ -40,9 +40,13 @@ def run_ours(x0s):
     y0s = np.zeros((x0s.shape[0], 2))
 
     warm = solver.solve(x0s, y0s)
-    t0 = time.perf_counter()
-    res = solver.solve(x0s, y0s)
-    elapsed = time.perf_counter() - t0
+    # min over repeats: single timed runs right after compile can read up
+    # to ~2x slow through the TPU tunnel (async compile tail)
+    elapsed = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = solver.solve(x0s, y0s)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     frac = res.success.mean()
     return x0s.shape[0] / elapsed, frac
