@@ -125,11 +125,51 @@ class BCRLevel(NamedTuple):
     b_right: Any  # (H, q, q) U[2t+1]: couples odd 2t+1 to even 2t+2 (0 at t=H-1)
 
 
-class BCRFactor(NamedTuple):
-    levels: Any  # tuple of BCRLevel, coarsest last
-    root_fact: Any  # packed LDL^T of the final single block
-    m_blocks: int  # original (unpadded) number of blocks
-    q: int
+@jax.tree_util.register_pytree_node_class
+class BCRFactor:
+    """Cyclic-reduction factorization.  The shape ints (m_blocks, q,
+    m_base) are static pytree metadata, NOT leaves — a factor that
+    round-trips through jit keeps them as Python ints."""
+
+    def __init__(self, levels, root_fact, m_blocks: int, q: int, m_base: int):
+        self.levels = levels  # tuple of BCRLevel, coarsest last
+        self.root_fact = root_fact  # packed LDL^T of dense base (m_base*q)
+        self.m_blocks = m_blocks  # original (unpadded) number of blocks
+        self.q = q
+        self.m_base = m_base  # block-rows remaining when recursion stopped
+
+    def tree_flatten(self):
+        return (self.levels, self.root_fact), (self.m_blocks, self.q, self.m_base)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    def __iter__(self):  # keep tuple-style unpacking working
+        return iter((self.levels, self.root_fact, self.m_blocks, self.q, self.m_base))
+
+
+# stop the reduction once this few block-rows remain and solve the rest as
+# ONE dense (m_base*q) LDL^T: each BCR level costs ~1 ms of small-op
+# latency on TPU regardless of width, so the last log2(BCR_BASE) levels
+# are pure overhead next to a tiny unrolled dense factor (8*2=16 unrolls
+# completely in ldlt_factor)
+BCR_BASE = 8
+
+
+def _btd_to_dense(d, u):
+    """Assemble a (mb*q, mb*q) dense matrix from block-tridiagonal bands
+    (symmetric: subdiagonal = upper^T)."""
+    mb, q = d.shape[0], d.shape[1]
+    idx = jnp.arange(mb)
+    S = jnp.zeros((mb, q, mb, q), dtype=d.dtype)
+    S = S.at[idx, :, idx, :].set(d)
+    if mb > 1:
+        S = S.at[idx[:-1], :, idx[:-1] + 1, :].set(u[: mb - 1])
+        S = S.at[idx[:-1] + 1, :, idx[:-1], :].set(
+            jnp.swapaxes(u[: mb - 1], 1, 2)
+        )
+    return S.reshape(mb * q, mb * q)
 
 
 def _solve_mats(facts, B):
@@ -156,7 +196,7 @@ def bcr_factor(diag, upper) -> BCRFactor:
     levels = []
     d, u = diag, up
     m_cur = mp
-    while m_cur > 1:
+    while m_cur > BCR_BASE:
         h = m_cur // 2
         d_odd = d[1::2]  # (h, q, q)
         facts_odd = jax.vmap(ldlt_factor)(d_odd)
@@ -193,9 +233,13 @@ def bcr_factor(diag, upper) -> BCRFactor:
         d, u = d_new, u_new
         m_cur = h
 
-    root_fact = ldlt_factor(d[0])
+    root_fact = ldlt_factor(_btd_to_dense(d, u))
     return BCRFactor(
-        levels=tuple(levels), root_fact=root_fact, m_blocks=m_blocks, q=q
+        levels=tuple(levels),
+        root_fact=root_fact,
+        m_blocks=m_blocks,
+        q=q,
+        m_base=m_cur,
     )
 
 
@@ -222,7 +266,8 @@ def bcr_solve(fact: BCRFactor, rhs):
             - jnp.einsum("tij,tj->ti", lev.a_right, f_inv_b)
         )
 
-    x = ldlt_solve(fact.root_fact, r[0])[None]  # (1, q)
+    # dense base solve on the remaining m_base block-rows
+    x = ldlt_solve(fact.root_fact, r.reshape(-1)).reshape(fact.m_base, q)
 
     # up-sweep: recover odd blocks, interleave with evens
     for lev, b_odd in zip(reversed(fact.levels), reversed(odd_rhs)):

@@ -178,11 +178,21 @@ def _dispatch_factor(mat, n_pad, block, interpret):
 
     @jax.custom_batching.custom_vmap
     def single(m):
+        from jax.experimental.pallas import tpu as pltpu
+
         kernel = functools.partial(_kernel, n=n_pad, block=block)
+        kwargs = {}
+        if not interpret:
+            # mat + out + panel scratch exceed the default 16 MB scoped-
+            # VMEM limit slightly at n=1024+; raise it like the batched call
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
             interpret=interpret,
+            **kwargs,
         )(m)
 
     @single.def_vmap

@@ -37,6 +37,9 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 DEFAULT_SUPER_BLOCK = 1024
+# ceiling of the VMEM-resident Pallas kernel — adaptive super-block sizing
+# may pick any SB up to this
+MAX_SUPER_BLOCK = 1280
 
 
 @functools.partial(
@@ -44,16 +47,25 @@ DEFAULT_SUPER_BLOCK = 1024
 )
 def ldlt_factor_two_level(
     mat,
-    super_block: int = DEFAULT_SUPER_BLOCK,
+    super_block: int | None = None,
     block: int = 128,
     interpret: bool = False,
 ):
     """Packed f32 LDL^T factor of an (n, n) symmetric matrix (batched
-    leading dims supported via vmap of the Pallas diagonal factor)."""
+    leading dims supported via vmap of the Pallas diagonal factor).
+
+    ``super_block=None`` picks the smallest block count whose SB fits the
+    VMEM kernel and sizes SB to minimize identity padding: n=2050 becomes
+    2x1025 (pad 0) instead of 3x1024 (pad to 3072, 3.4x the FLOPs) —
+    padding costs cubically."""
     from .pallas_ldlt import pallas_ldlt_factor_f32
 
     mat = mat.astype(jnp.float32)
     n = mat.shape[-1]
+
+    if super_block is None:
+        num_min = -(-n // MAX_SUPER_BLOCK)
+        super_block = -(-n // num_min) if n > MAX_SUPER_BLOCK else n
 
     if n <= super_block:
         return pallas_ldlt_factor_f32(mat, block=block, interpret=interpret)

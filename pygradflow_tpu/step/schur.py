@@ -45,7 +45,11 @@ class SchurFactors(NamedTuple):
     s_fact: Any  # factor of the dual Schur complement
     jac_masked: Any  # J with active columns zeroed (f64)
     ainv_jt: Any  # A^{-1} J^T, reused in back-substitution (n, m)
-    m11: Any  # masked primal block (f64) for mixed-precision refinement
+    # (nb, b, b) diagonal blocks of the masked primal matrix in f64 for
+    # mixed-precision refinement (the full M11 IS block diagonal — the
+    # Schur path requires a block-diagonal Hessian — so the residual
+    # matvec is a batched small GEMM, not a dense n^2 f64 matvec)
+    m11_blocks: Any
 
 
 def _block_diag_blocks(H, b):
@@ -171,7 +175,7 @@ def schur_def(
                 s_fact=s_fact,
                 jac_masked=Jmw,
                 ainv_jt=ainv_jt,
-                m11=M11 if mixed else None,
+                m11_blocks=_block_diag_blocks(M11, b) if mixed else None,
             ),
             active=active,
             hess_shifted=Hl,
@@ -229,13 +233,16 @@ def schur_def(
             jm64 = jnp.where(inact[None, :], f.jac, 0.0)
             mu = lamb * pfact
 
-            # two refinement passes: the f32 elimination gives ~1e-6
+            # one refinement pass: the f32 elimination gives ~1e-6
             # relative error and each pass restores ~5-6 digits against
-            # the f64 saddle system; verified to reproduce the all-f64
-            # trajectory to 1e-8 (tests/test_schur.py)
+            # the f64 saddle system (-> ~1e-11, well past the 1e-8
+            # trajectory-parity bar; verified in tests/test_schur.py).
+            # The M11 residual term rides the block structure: a batched
+            # (nb, b, b) GEMM instead of a dense n^2 f64 matvec (f64
+            # matmuls are emulated multi-pass on TPU)
             sx, sy = inner(rhs_x, rhs_y)
-            for _ in range(2):
-                r_x = rhs_x - sf.m11 @ sx - jm64.T @ sy
+            for _ in range(1):
+                r_x = rhs_x - _blocks_apply(sf.m11_blocks, sx, b) - jm64.T @ sy
                 r_y = rhs_y - jm64 @ sx + mu * sy
                 cx, cy = inner(r_x, r_y)
                 sx = sx + cx
