@@ -141,10 +141,12 @@ def main():
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
         from baseline_cache import write_artifact
 
-        write_artifact(
-            "r2_rosenbrock.json",
-            {**payload, "baseline_solves_per_sec": baseline},
+        name = (
+            "r2_rosenbrock_f32.json"
+            if os.environ.get("BENCH_PRECISION") == "Single"
+            else "r2_rosenbrock.json"
         )
+        write_artifact(name, {**payload, "baseline_solves_per_sec": baseline})
     except Exception:
         pass
     print(json.dumps(payload))
