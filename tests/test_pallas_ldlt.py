@@ -165,3 +165,27 @@ def test_factor_guard_poisons_garbage():
     nan_factor = packed.at[3, 3].set(jnp.nan)
     still_bad = guard_factor(nan_factor, A)
     assert not bool(jnp.all(jnp.isfinite(still_bad)))
+
+
+def test_two_level_adaptive_super_block():
+    """``super_block=None`` sizes the blocks to minimize identity padding
+    (n just above the kernel ceiling splits in two instead of padding to
+    3x the ceiling) and still matches the unblocked factor."""
+    import pygradflow_tpu.linalg.two_level_ldlt as tl
+
+    orig = tl.MAX_SUPER_BLOCK
+    tl.MAX_SUPER_BLOCK = 128
+    try:
+        # n=200 > 128: adaptive picks 2x100 (no padding) instead of 2x128
+        A = _saddle(150, 50)
+        packed = tl.ldlt_factor_two_level(
+            jnp.asarray(A), super_block=None, block=64, interpret=True
+        )
+        assert packed.shape == (200, 200)  # no padding leaked out
+        f_ref = np.asarray(ldlt_factor(jnp.asarray(A, dtype=jnp.float32)))
+        np.testing.assert_allclose(
+            np.tril(np.asarray(packed)), np.tril(f_ref), rtol=2e-3, atol=2e-3
+        )
+        assert int(ldlt_num_neg_eigvals(packed)) == 50
+    finally:
+        tl.MAX_SUPER_BLOCK = orig

@@ -203,3 +203,40 @@ def test_pendulum_schur_dense_dual_mixed_precision():
     np.testing.assert_allclose(
         np.asarray(r_mixed.x), np.asarray(r_dense.x), rtol=1e-8, atol=1e-9
     )
+
+
+def test_bcr_solve_matches_dense():
+    """Cyclic-reduction factor/solve vs a dense solve, covering both the
+    base-only path (mb <= BCR_BASE: no reduction levels, one dense
+    unrolled factor) and the leveled path (mb >> BCR_BASE)."""
+    from pygradflow_tpu.linalg.block_tridiag import (
+        BCR_BASE,
+        bcr_factor,
+        bcr_solve,
+        dense_to_btd,
+    )
+
+    rng = np.random.default_rng(11)
+    for M, q in [(5, 2), (37, 2), (21, 3)]:
+        m = M * q
+        S = np.zeros((m, m))
+        for i in range(M):
+            B = rng.standard_normal((q, q))
+            S[i * q : (i + 1) * q, i * q : (i + 1) * q] = -(
+                B @ B.T + 5 * np.eye(q)
+            )
+        for i in range(M - 1):
+            U = 0.3 * rng.standard_normal((q, q))
+            S[i * q : (i + 1) * q, (i + 1) * q : (i + 2) * q] = U
+            S[(i + 1) * q : (i + 2) * q, i * q : (i + 1) * q] = U.T
+        rhs = rng.standard_normal(m)
+
+        fact = bcr_factor(*dense_to_btd(jnp.asarray(S), q))
+        if M <= BCR_BASE:
+            assert len(fact.levels) == 0  # base-only path
+        else:
+            assert len(fact.levels) > 0
+        x = bcr_solve(fact, jnp.asarray(rhs))
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(S, rhs), rtol=1e-9, atol=1e-11
+        )
