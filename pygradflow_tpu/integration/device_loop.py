@@ -87,9 +87,13 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
     def run_vals(z, rho, filter, grad_dirs):
         return ev.event_values(cfg, z, rho, filter, grad_dirs)
 
-    def bisect(t_prev, z_prev, t_cur, rho, filter, grad_dirs):
+    def bisect(t_prev, z_prev, t_cur, z_end, rho, filter, grad_dirs):
         """Device bisection of the event bracket (mirrors
-        ``integrator.bisect_event``)."""
+        ``integrator.bisect_event``).  ``z_end`` is the segment's own
+        accepted state at ``t_cur`` — the fallback when bisection never
+        re-finds the crossing (re-stepping the whole remaining bracket
+        with one implicit-Euler jump diverges near convergence, where the
+        bracket can span ~1e6 model-time units)."""
         dirs = ev.event_directions(cfg, filter, grad_dirs)
 
         def cond(c):
@@ -134,7 +138,6 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
         )
         out = jax.lax.while_loop(cond, body, init)
 
-        z_end, _ = step_fn(out["z_lo"], out["t_hi"] - out["t_lo"], rho, filter)
         z_hi = jnp.where(out["has_hi"], out["z_hi"], z_end)
         vals_hi = run_vals(z_hi, rho, filter, grad_dirs)
         crossed = ev.crossings(out["vals_lo"], vals_hi, dirs)
@@ -145,7 +148,7 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
         reference ``integration_solver.py:143-225``)."""
         grad_dirs = ev.grad_event_dirs(ctx, z, filter, lb, ub)
         t_ev, z_ev, crossed = bisect(
-            seg.t_prev, seg.z_prev, seg.t, rho, filter, grad_dirs
+            seg.t_prev, seg.z_prev, seg.t, seg.z, rho, filter, grad_dirs
         )
         path_dist = path_dist + jnp.linalg.norm(z_ev - z)
 

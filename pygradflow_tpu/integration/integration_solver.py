@@ -212,6 +212,7 @@ class IntegrationSolver:
                     rho,
                     filter,
                     grad_dirs,
+                    z_end=seg.z,
                 )
                 crossed = np.asarray(crossed)
                 path_dist += float(jnp.linalg.norm(z_ev - z))

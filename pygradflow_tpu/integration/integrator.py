@@ -316,10 +316,31 @@ def make_segment_runner(
     return jax.jit(run), jax.jit(single)
 
 
-def bisect_event(cfg, step_fn, run_vals, t_prev, z_prev, t_cur, rho, filter, grad_dirs, max_bisect=50):
+def bisect_event(
+    cfg,
+    step_fn,
+    run_vals,
+    t_prev,
+    z_prev,
+    t_cur,
+    rho,
+    filter,
+    grad_dirs,
+    max_bisect=50,
+    z_end=None,
+):
     """Host-driven bisection: shrink the event bracket [t_prev, t_cur] by
     taking single implicit-Euler steps from ``z_prev``; returns the refined
-    (t, z, crossed) at the post-crossing side."""
+    (t, z, crossed) at the post-crossing side.
+
+    ``z_end`` is the segment integrator's own ACCEPTED state at ``t_cur``.
+    When the bisection never re-finds the crossing (the single-step
+    re-integration rounds differently than the adaptive path), it falls
+    back to ``z_end`` rather than jumping the whole remaining bracket with
+    one implicit-Euler step — near convergence the bracket can span ~1e6
+    model-time units, the Newton for that jump diverges, and (before this
+    guard) its garbage state, clipped into the box, silently replaced an
+    essentially-converged iterate with duals ~1e45."""
     import numpy as np
 
     dirs = ev.event_directions(cfg, filter, grad_dirs)
@@ -347,8 +368,14 @@ def bisect_event(cfg, step_fn, run_vals, t_prev, z_prev, t_cur, rho, filter, gra
             vals_prev = vals_mid
 
     if z_hi is None:
-        # take a final step to the end of the bracket
-        z_hi, _ = step_fn(z_lo, t_hi - t_lo, rho, filter)
+        if z_end is not None:
+            z_hi = z_end
+        else:
+            # legacy path (no segment endpoint provided): one step to the
+            # end of the bracket, rejected if its Newton fails
+            z_hi, ok = step_fn(z_lo, t_hi - t_lo, rho, filter)
+            if not bool(ok) or not bool(jnp.all(jnp.isfinite(z_hi))):
+                z_hi = z_lo
 
     vals_hi = run_vals(z_hi)
     crossed = ev.crossings(vals_prev, vals_hi, dirs)

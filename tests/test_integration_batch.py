@@ -59,9 +59,13 @@ def test_batched_tame_matches_reference_segments():
     b = BatchedIntegrationSolver(inst.problem, _params())
     res = b.solve(np.tile(inst.x_0, (2, 1)), np.tile(inst.y_0, (2, 1)))
     assert res.success.all()
-    # same segment count as the reference BDF engine (13, see
-    # benchmarks/artifacts/r2_integration.json)
-    assert res.iterations.tolist() == [13, 13]
+    # 12 segments vs the reference BDF engine's 13: since the bisection
+    # fallback honors the segment's own crossing detection (the fix for
+    # the diverged bracket-jump corruption, integrator.bisect_event), one
+    # crossing that previously slipped through and re-fired a segment
+    # later is handled immediately — identical solution, one fewer
+    # segment (PARITY.md)
+    assert res.iterations.tolist() == [12, 12]
     np.testing.assert_allclose(res.x, np.tile(inst.x_opt, (2, 1)), atol=1e-8)
 
 

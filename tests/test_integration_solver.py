@@ -164,3 +164,28 @@ def test_integration_collect_path(integration_params):
     assert path.shape[0] == 1
     assert path.shape[1] >= 2
     np.testing.assert_allclose(path[:, -1], result.x, atol=1e-10)
+
+
+def test_bisection_divergence_does_not_corrupt_state():
+    """Regression: when the event bisection never re-finds the crossing,
+    it must fall back to the segment's accepted endpoint — NOT take one
+    implicit-Euler jump across the whole remaining bracket (whose Newton
+    diverges near convergence, where the bracket spans ~1e6 model-time
+    units, and whose garbage state used to replace an essentially
+    converged iterate with ~1e45 duals -> breakdown).  This exact
+    perturbed start used to fail with IterationLimit."""
+    inst = hs71_instance()
+    rng = np.random.default_rng(7)
+    lo = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
+    hi = np.array([5.0, 5.0, 5.0, 5.0, 2.0])
+    x0s = np.clip(
+        inst.x_0[None, :] + rng.uniform(-0.1, 0.1, (16, 5)), lo, hi
+    )
+    params = Params(
+        iteration_limit=1000, rho=1e-2, integration_max_steps=20_000
+    )
+    result = IntegrationSolver(inst.problem, params).solve(
+        x0s[9], np.zeros(2)
+    )
+    assert result.success
+    np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-5)
