@@ -37,13 +37,12 @@ def main():
     rng = np.random.default_rng(7)
     lo = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
     hi = np.array([5.0, 5.0, 5.0, 5.0, 2.0])
-    # modest perturbations: lockstep batching runs until the SLOWEST lane
-    # terminates, and a strongly perturbed start can push a lane outside
-    # the event engine's robustness envelope (h-rejection spiral at a
-    # deadband-suppressed kink, see PARITY.md) — which on the TPU tunnel
-    # turns one dispatch into minutes and trips the worker watchdog.  The
-    # step cap bounds any runaway lane: it finishes as IterationLimit and
-    # is counted against success_fraction.
+    # lockstep batching runs until the SLOWEST lane terminates, and a
+    # few % of perturbed starts grind ~70x the typical step count before
+    # converging (slow dual creep near the optimum, see PARITY.md) —
+    # which on the TPU tunnel can turn one dispatch into minutes.  The
+    # step cap bounds any truly runaway lane: it finishes as
+    # IterationLimit and is counted against success_fraction.
     x0s = np.clip(
         inst.x_0[None, :] + rng.uniform(-0.1, 0.1, size=(BATCH, 5)), lo, hi
     )
@@ -51,7 +50,7 @@ def main():
 
     solver = BatchedIntegrationSolver(
         inst.problem,
-        Params(iteration_limit=1000, rho=1e-2, integration_max_steps=5_000),
+        Params(iteration_limit=1000, rho=1e-2, integration_max_steps=50_000),
     )
     res = solver.solve(x0s, y0s)  # warm-up/compile
     t0 = time.perf_counter()
