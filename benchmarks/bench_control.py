@@ -167,7 +167,18 @@ def main():
         # marginal ms/iteration: subtract the fixed per-solve dispatch
         # overhead (measured via a 2-iteration solve; ~2 host<->device
         # round trips through the TPU tunnel, absent on locally attached
-        # chips) so the number reflects the actual per-iteration cost
+        # chips) so the number reflects the actual per-iteration cost.
+        # BENCH_NO_MARGINAL=1 skips it (the extra compile can blow the
+        # watchdog budget at fresh sizes)
+        if os.environ.get("BENCH_NO_MARGINAL"):
+            results[tier] = dict(
+                status=r.status.name,
+                iterations=r.iterations,
+                wall_s=round(wall, 3),
+                ms_per_iter=round(wall / max(r.iterations, 1) * 1e3, 2),
+            )
+            print(f"  {tier:>10s}: {results[tier]}", file=sys.stderr)
+            continue
         p2 = dict(vars(params))
         p2["iteration_limit"] = 2
         short = Solver(problem, Params(**p2))
