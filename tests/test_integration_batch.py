@@ -93,3 +93,19 @@ def test_device_loop_param_single_instance():
     np.testing.assert_array_equal(dev.x, host.x)
     np.testing.assert_allclose(dev.dist_factor, host.dist_factor, rtol=1e-12)
     assert dev.num_integration_steps == host.num_integration_steps
+
+
+def test_device_loop_tame_matches_host():
+    """The device loop's bisection fallback must keep matching the host
+    driver on Tame (whose 12-segment trajectory exercises the
+    segment-endpoint fallback path in both drivers)."""
+    inst = tame_instance()
+    host = IntegrationSolver(inst.problem, _params()).solve(inst.x_0, inst.y_0)
+    dev = IntegrationSolver(
+        inst.problem,
+        Params(iteration_limit=1000, rho=1e-2, integration_device_loop=True),
+    ).solve(inst.x_0, inst.y_0)
+    assert host.iterations == 12
+    assert dev.status == host.status
+    assert dev.iterations == host.iterations
+    np.testing.assert_array_equal(dev.x, host.x)
