@@ -488,6 +488,159 @@ HS_SPECS = [
         x_opt=np.ones(5),
         f_opt=0.0,
     ),
+    HSSpec(
+        name="hs8",
+        obj=lambda x: jnp.asarray(-1.0),
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(2.0, 1.0),
+        cons=lambda x: jnp.array(
+            [x[0] ** 2 + x[1] ** 2 - 25.0, x[0] * x[1] - 9.0]
+        ),
+        num_eq_cons=2,
+        # four symmetric feasible points; objective is constant
+        f_opt=-1.0,
+    ),
+    HSSpec(
+        name="hs11",
+        obj=lambda x: (x[0] - 5.0) ** 2 + x[1] ** 2 - 25.0,
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(INF, INF),
+        x0=_a(4.9, 0.1),
+        cons=lambda x: jnp.array([x[1] - x[0] ** 2]),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        f_opt=-8.498464223,
+    ),
+    HSSpec(
+        name="hs16",
+        obj=_rosenbrock_obj,
+        var_lb=_a(-2.0, -INF),
+        var_ub=_a(0.5, 1.0),
+        x0=_a(-2.0, 1.0),
+        cons=lambda x: jnp.array(
+            [x[0] + x[1] ** 2, x[0] ** 2 + x[1]]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        x_opt=_a(0.5, 0.25),
+        f_opt=0.25,
+    ),
+    HSSpec(
+        name="hs18",
+        obj=lambda x: x[0] ** 2 / 100.0 + x[1] ** 2,
+        var_lb=_a(2.0, 0.0),
+        var_ub=_a(50.0, 50.0),
+        x0=_a(2.0, 2.0),
+        cons=lambda x: jnp.array(
+            [x[0] * x[1] - 25.0, x[0] ** 2 + x[1] ** 2 - 25.0]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        x_opt=_a(math.sqrt(250.0), math.sqrt(2.5)),
+        f_opt=5.0,
+    ),
+    HSSpec(
+        name="hs23",
+        obj=lambda x: x[0] ** 2 + x[1] ** 2,
+        var_lb=_a(-50.0, -50.0),
+        var_ub=_a(50.0, 50.0),
+        x0=_a(3.0, 1.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + x[1] - 1.0,
+                x[0] ** 2 + x[1] ** 2 - 1.0,
+                9.0 * x[0] ** 2 + x[1] ** 2 - 9.0,
+                x[0] ** 2 - x[1],
+                x[1] ** 2 - x[0],
+            ]
+        ),
+        cons_lb=np.zeros(5),
+        cons_ub=np.full(5, INF),
+        x_opt=_a(1.0, 1.0),
+        f_opt=2.0,
+    ),
+    HSSpec(
+        name="hs31",
+        obj=lambda x: 9.0 * x[0] ** 2 + x[1] ** 2 + 9.0 * x[2] ** 2,
+        var_lb=_a(-10.0, 1.0, -10.0),
+        var_ub=_a(10.0, 10.0, 1.0),
+        x0=_a(1.0, 1.0, 1.0),
+        cons=lambda x: jnp.array([x[0] * x[1] - 1.0]),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(1.0 / math.sqrt(3.0), math.sqrt(3.0), 0.0),
+        f_opt=6.0,
+    ),
+    HSSpec(
+        name="hs33",
+        obj=lambda x: (x[0] - 1.0) * (x[0] - 2.0) * (x[0] - 3.0) + x[2],
+        var_lb=_a(0.0, 0.0, 0.0),
+        var_ub=_a(INF, INF, 5.0),
+        x0=_a(0.0, 0.0, 3.0),
+        cons=lambda x: jnp.array(
+            [
+                x[2] ** 2 - x[1] ** 2 - x[0] ** 2,
+                x[0] ** 2 + x[1] ** 2 + x[2] ** 2 - 4.0,
+            ]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        # nonconvex: from the book start the homotopy (like any local
+        # method) converges to the KKT point x=(0,0,2), f=-4; the book's
+        # global optimum is (0,sqrt2,sqrt2), f=sqrt2-6
+        x_opt=None,
+        f_opt=None,
+    ),
+    HSSpec(
+        name="hs52",
+        obj=lambda x: (
+            (4.0 * x[0] - x[1]) ** 2
+            + (x[1] + x[2] - 2.0) ** 2
+            + (x[3] - 1.0) ** 2
+            + (x[4] - 1.0) ** 2
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=np.full(5, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 3.0 * x[1],
+                x[2] + x[3] - 2.0 * x[4],
+                x[1] - x[4],
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=1859.0 / 349.0,
+    ),
+    HSSpec(
+        name="hs76",
+        obj=lambda x: (
+            x[0] ** 2
+            + 0.5 * x[1] ** 2
+            + x[2] ** 2
+            + 0.5 * x[3] ** 2
+            - x[0] * x[2]
+            + x[2] * x[3]
+            - x[0]
+            - 3.0 * x[1]
+            + x[2]
+            - x[3]
+        ),
+        var_lb=np.zeros(4),
+        var_ub=np.full(4, INF),
+        x0=np.full(4, 0.5),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 2.0 * x[1] + x[2] + x[3],
+                3.0 * x[0] + x[1] + 2.0 * x[2] - x[3],
+                x[1] + 4.0 * x[2],
+            ]
+        ),
+        cons_lb=_a(-INF, -INF, 1.5),
+        cons_ub=_a(5.0, 4.0, INF),
+        f_opt=-4.681818181,
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

@@ -12,9 +12,10 @@ from pygradflow_tpu import Params, Solver
 
 
 HS_QUICK = [
-    "hs3", "hs6", "hs9", "hs10", "hs12", "hs21", "hs22", "hs24", "hs26",
-    "hs27", "hs28", "hs29", "hs30", "hs35", "hs36", "hs42", "hs43", "hs48",
-    "hs49", "hs50", "hs51",
+    "hs3", "hs6", "hs8", "hs9", "hs10", "hs11", "hs12", "hs16", "hs21",
+    "hs22", "hs23", "hs24", "hs26", "hs27", "hs28", "hs29", "hs30", "hs31",
+    "hs35", "hs36", "hs42", "hs43", "hs48", "hs49", "hs50", "hs51", "hs52",
+    "hs76",
 ]
 
 
