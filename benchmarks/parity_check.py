@@ -27,6 +27,69 @@ sys.path.insert(0, REF)
 sys.path.insert(0, os.path.join(REF, "tests/pygradflow"))
 
 
+def make_ref_hs(spec):
+    """Reference-side adapter for an HS spec: same objective/constraint
+    formulas, derivatives supplied to the reference (which derives
+    nothing itself) by the SAME jax autodiff both sides use — so the
+    comparison isolates the solver, not the differentiation."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from pygradflow.problem import Problem as RefProblem
+
+    jgrad = jax.jit(jax.grad(spec.obj))
+    has_cons = spec.cons is not None
+    if has_cons:
+        jjac = jax.jit(jax.jacfwd(spec.cons))
+
+        def lag(x, y):
+            return spec.obj(x) + spec.cons(x) @ y
+
+    else:
+
+        def lag(x, y):
+            return spec.obj(x)
+
+    jhess = jax.jit(jax.jacfwd(jax.grad(lag, argnums=0), argnums=0))
+
+    class RefHS(RefProblem):
+        def __init__(self):
+            if spec.cons_lb is not None or spec.cons_ub is not None:
+                super().__init__(
+                    spec.var_lb, spec.var_ub,
+                    cons_lb=spec.cons_lb, cons_ub=spec.cons_ub,
+                )
+            elif spec.num_eq_cons:
+                super().__init__(
+                    spec.var_lb, spec.var_ub, num_cons=spec.num_eq_cons
+                )
+            else:
+                super().__init__(spec.var_lb, spec.var_ub)
+
+        def obj(self, x):
+            return float(spec.obj(jnp.asarray(x)))
+
+        # np.array (copy) rather than np.asarray: the reference's slack
+        # transform mutates these in place, and numpy views of jax
+        # buffers are read-only
+        def obj_grad(self, x):
+            return np.array(jgrad(jnp.asarray(x)))
+
+        def cons(self, x):
+            return np.array(spec.cons(jnp.asarray(x)))
+
+        def cons_jac(self, x):
+            return sp.csr_matrix(np.asarray(jjac(jnp.asarray(x))))
+
+        def lag_hess(self, x, y):
+            return sp.csr_matrix(
+                np.asarray(jhess(jnp.asarray(x), jnp.asarray(y)))
+            )
+
+    return RefHS
+
+
 def ref_solve(problem_name, params_kwargs, x0, y0):
     import logging
 
@@ -50,6 +113,10 @@ def ref_solve(problem_name, params_kwargs, x0, y0):
         "hs71": RefHS71,
         "tame": RefTame,
     }
+    if problem_name.startswith("hs") and problem_name not in problems:
+        from pygradflow_tpu.runners.hs import HS_BY_NAME
+
+        problems[problem_name] = make_ref_hs(HS_BY_NAME[problem_name])
     enums = {
         "newton_type": RNT,
         "step_solver_type": RSST,
@@ -79,6 +146,10 @@ def our_solve(problem_name, params_kwargs, x0, y0):
     from problems import HS71, Rosenbrock, Tame
 
     problems = {"rosenbrock": Rosenbrock, "hs71": HS71, "tame": Tame}
+    if problem_name.startswith("hs") and problem_name not in problems:
+        from pygradflow_tpu.runners.hs import HS_BY_NAME
+
+        problems[problem_name] = HS_BY_NAME[problem_name].problem
     enums = {
         "newton_type": NewtonType,
         "step_solver_type": StepSolverType,
@@ -101,6 +172,20 @@ _STARTS = {
     "hs71": (np.array([1.0, 5.0, 5.0, 1.0, 0.0]), np.array([0.0, 0.0])),
     "tame": (np.array([0.0, 0.0]), np.array([0.0])),
 }
+
+# new HS problems (default config): solver-level parity with derivatives
+# supplied to the reference by the same autodiff
+for prob in ["hs8", "hs11", "hs16", "hs23", "hs31", "hs33", "hs52", "hs76"]:
+    from pygradflow_tpu.runners.hs import HS_BY_NAME as _HS
+
+    _spec = _HS[prob]
+    m = (
+        len(_spec.cons_lb)
+        if _spec.cons_lb is not None
+        else (_spec.num_eq_cons or 0)
+    )
+    _STARTS[prob] = (_spec.x0, np.zeros(m))
+    CASES.append((prob, {}))
 
 for prob in ["rosenbrock", "hs71", "tame"]:
     CASES.append((prob, {}))
