@@ -8,10 +8,20 @@ the same instances sequentially on CPU (measured on a subsample and
 extrapolated, since the reference takes ~100ms+/instance).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Outage hardening: the TPU tunnel occasionally fails backend init
+("Unable to initialize backend 'axon': UNAVAILABLE") or wedges a dispatch;
+a failed init can leave the JAX process unusable, so the default entry
+point is an *orchestrator* that runs the actual bench in a fresh
+subprocess per attempt (BENCH_RETRIES, sleeping BENCH_RETRY_SLEEP seconds
+between attempts, each attempt hard-capped at BENCH_ATTEMPT_TIMEOUT).  On
+final failure it still prints one structured JSON line naming the outage
+and exits 0, so the driver's BENCH_r*.json is never silently empty.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,10 +31,49 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 BASELINE_SAMPLE = int(os.environ.get("BENCH_BASELINE_SAMPLE", 16))
 SEED = 0
 
+# stderr substrings that indicate a transient TPU-tunnel outage (retryable
+# with a long sleep) rather than a repo bug
+TRANSIENT_PATTERNS = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "FAILED_PRECONDITION",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "Connection reset",
+)
+
+
+def _metric_name():
+    return (
+        f"batched Rosenbrock solves/sec (B={BATCH}, "
+        + (
+            "f32, opt_tol=1e-4"
+            if os.environ.get("BENCH_PRECISION") == "Single"
+            else "opt_tol=1e-6"
+        )
+        + ")"
+    )
+
 
 def make_starts(batch):
     rng = np.random.default_rng(SEED)
     return rng.uniform(-1.5, 1.5, size=(batch, 2))
+
+
+def _maybe_inject_failure():
+    """Test hook: a file holding an int N makes the next N inner runs fail
+    with a synthetic backend-init error (see tests/test_bench_retry.py)."""
+    path = os.environ.get("BENCH_FAIL_INJECT_FILE")
+    if not path or not os.path.exists(path):
+        return
+    with open(path) as f:
+        remaining = int(f.read().strip() or 0)
+    if remaining > 0:
+        with open(path, "w") as f:
+            f.write(str(remaining - 1))
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: injected outage"
+        )
 
 
 def run_ours(x0s):
@@ -111,7 +160,14 @@ def run_baseline(x0s):
     return sample.shape[0] / elapsed
 
 
-def main():
+def inner_main():
+    """One bench attempt in this process; prints the JSON line on success."""
+    _maybe_inject_failure()
+    if os.environ.get("BENCH_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     x0s = make_starts(BATCH)
 
     solves_per_sec, _ = run_ours(x0s)
@@ -124,15 +180,7 @@ def main():
     vs = (solves_per_sec / baseline) if baseline else None
 
     payload = {
-        "metric": (
-            f"batched Rosenbrock solves/sec (B={BATCH}, "
-            + (
-                "f32, opt_tol=1e-4"
-                if os.environ.get("BENCH_PRECISION") == "Single"
-                else "opt_tol=1e-6"
-            )
-            + ")"
-        ),
+        "metric": _metric_name(),
         "value": round(solves_per_sec, 3),
         "unit": "solves/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
@@ -142,9 +190,9 @@ def main():
         from baseline_cache import write_artifact
 
         name = (
-            "r2_rosenbrock_f32.json"
+            "r3_rosenbrock_f32.json"
             if os.environ.get("BENCH_PRECISION") == "Single"
-            else "r2_rosenbrock.json"
+            else "r3_rosenbrock.json"
         )
         write_artifact(name, {**payload, "baseline_solves_per_sec": baseline})
     except Exception:
@@ -152,5 +200,79 @@ def main():
     print(json.dumps(payload))
 
 
+def _classify(stderr_tail, timed_out):
+    if timed_out:
+        return "attempt timed out (wedged dispatch / hung TPU tunnel?)"
+    for pat in TRANSIENT_PATTERNS:
+        if pat in stderr_tail:
+            return f"transient backend outage ({pat})"
+    return "bench failure (see detail)"
+
+
+def orchestrate():
+    """Run the bench in fresh subprocesses with retry/backoff; always print
+    exactly one JSON line to stdout and exit 0."""
+    retries = int(os.environ.get("BENCH_RETRIES", 3))
+    sleeps = [
+        float(s)
+        for s in os.environ.get("BENCH_RETRY_SLEEP", "60,240").split(",")
+        if s.strip()
+    ] or [60.0]
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 1800))
+
+    env = dict(os.environ, BENCH_INNER="1")
+    last_tail, timed_out = "", False
+    for attempt in range(1, retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=attempt_timeout,
+            )
+            timed_out = False
+            out_lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            if proc.returncode == 0 and out_lines:
+                try:
+                    payload = json.loads(out_lines[-1])
+                except json.JSONDecodeError:
+                    payload = None
+                if payload is not None:
+                    if attempt > 1:
+                        payload["attempts"] = attempt
+                    print(json.dumps(payload))
+                    return 0
+            last_tail = (proc.stderr or "")[-2000:] + (proc.stdout or "")[-500:]
+        except subprocess.TimeoutExpired as exc:
+            timed_out = True
+            last_tail = ((exc.stderr or b"").decode("utf-8", "replace"))[-2000:]
+
+        sys.stderr.write(
+            f"[bench] attempt {attempt}/{retries} failed"
+            f" ({_classify(last_tail, timed_out)})\n{last_tail}\n"
+        )
+        if attempt < retries:
+            time.sleep(sleeps[min(attempt - 1, len(sleeps) - 1)])
+
+    print(
+        json.dumps(
+            {
+                "metric": _metric_name(),
+                "value": None,
+                "unit": "solves/sec",
+                "vs_baseline": None,
+                "error": _classify(last_tail, timed_out),
+                "attempts": retries,
+                "detail": last_tail[-400:],
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        inner_main()
+    else:
+        sys.exit(orchestrate())

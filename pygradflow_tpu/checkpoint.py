@@ -6,6 +6,14 @@ small pytree (iterate, lambda, rho, PI integral, penalty state, counters),
 so checkpointing is a flat .npz snapshot written at chunk boundaries and a
 restore that resumes the ``lax.while_loop`` exactly where it stopped —
 bitwise-identical continuation.
+
+Format: leaves are keyed by their pytree path (not position), so adding
+or removing LoopState fields — e.g. the ``eval_fail`` leaves that only
+exist under ``validate_input`` — cannot silently shift leaves between
+unrelated fields.  A checkpoint whose key set does not match the current
+structure fails with an explicit "incompatible checkpoint" error.
+Pre-versioning snapshots (positional ``leaf_{i}`` keys) are still loaded
+when the leaf count matches exactly.
 """
 
 import os
@@ -14,11 +22,19 @@ from typing import Optional
 import jax
 import numpy as np
 
+FORMAT_VERSION = 2
+
+
+def _path_key(path) -> str:
+    """Stable string form of a jax key path ('.lamb', '.iterate.x', ...)."""
+    return "leaf" + jax.tree_util.keystr(path)
+
 
 def save_state(path: str, state) -> None:
     """Serialize a LoopState pytree to ``path`` (.npz), atomically."""
-    leaves, _ = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {_path_key(p): np.asarray(leaf) for p, leaf in flat}
+    arrays["__format_version__"] = np.asarray(FORMAT_VERSION)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # file handle: savez must not append ".npz"
         np.savez(f, **arrays)
@@ -27,11 +43,41 @@ def save_state(path: str, state) -> None:
 
 def load_state(path: str, example_state):
     """Restore a LoopState saved by :func:`save_state`; ``example_state``
-    provides the pytree structure (from ``SolveLoop.init_state``)."""
-    leaves, treedef = jax.tree_util.tree_flatten(example_state)
-    with np.load(path) as data:
-        restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    provides the pytree structure (from ``SolveLoop.init_state``).
+
+    Raises ``ValueError`` when the checkpoint's leaf keys do not match the
+    current structure (different code version, or ``validate_input``
+    toggled between save and restore)."""
     import jax.numpy as jnp
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(example_state)
+    keys = [_path_key(p) for p, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+
+    with np.load(path) as data:
+        saved_keys = set(data.files) - {"__format_version__"}
+        if "__format_version__" not in data.files:
+            # legacy positional format: only safe when the count matches
+            if saved_keys == {f"leaf_{i}" for i in range(len(leaves))}:
+                restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
+            else:
+                raise ValueError(
+                    f"incompatible checkpoint '{path}': legacy positional "
+                    f"format with {len(saved_keys)} leaves, current state "
+                    f"has {len(leaves)}"
+                )
+        else:
+            missing = [k for k in keys if k not in saved_keys]
+            extra = sorted(saved_keys - set(keys))
+            if missing or extra:
+                raise ValueError(
+                    f"incompatible checkpoint '{path}': leaf keys do not "
+                    f"match the current LoopState structure "
+                    f"(missing {missing or 'none'}, unexpected "
+                    f"{extra or 'none'}; was validate_input toggled, or "
+                    f"the checkpoint written by a different version?)"
+                )
+            restored = [data[k] for k in keys]
 
     restored = [
         jnp.asarray(r, dtype=leaf.dtype) if hasattr(leaf, "dtype") else r

@@ -208,12 +208,27 @@ class DistributedSolver(ShardedSolver):
         # a collective over the global status array, replicated to all
         any_running = jax.jit(lambda s: jnp.any(s == RUNNING))
 
+        from jax.experimental import multihost_utils
+
         timer = Timer(params.time_limit)
+        has_time_limit = np.isfinite(params.time_limit)
         while True:
             states = run(states, data)
             if not bool(any_running(states.status)):
                 break
-            if timer.reached_time_limit():
+            # the stop decision must be collectively consistent: clock /
+            # start skew could make one host break with TimeLimit while
+            # others re-enter run(), whose shard_map psum is a cross-host
+            # collective (mismatched collectives wedge the pod) — so
+            # process 0's verdict is broadcast and used by every host
+            timed_out = timer.reached_time_limit()
+            if has_time_limit and jax.process_count() > 1:
+                timed_out = bool(
+                    multihost_utils.broadcast_one_to_all(
+                        np.asarray(timed_out)
+                    )
+                )
+            if timed_out:
                 states = states._replace(
                     status=jnp.where(
                         states.status == RUNNING,
@@ -226,8 +241,6 @@ class DistributedSolver(ShardedSolver):
         # replicate results on every host before the host-side collect:
         # pull each host's contiguous row block out of the global arrays,
         # then allgather the blocks in process order (= row order)
-        from jax.experimental import multihost_utils
-
         def local_rows(a):
             # extract this host's global row block by shard INDEX rather
             # than concatenating shard data: XLA may mark degenerate

@@ -182,6 +182,11 @@ class Runner(ABC):
     """Base class for benchmark sweeps; subclasses provide a name and
     ``get_instances``."""
 
+    # absolute deadline for a --parallel child to reach its 'started'
+    # marker (interpreter + imports + instance setup); generous because
+    # first-time XLA compiles through the TPU tunnel can take minutes
+    STARTUP_TIMEOUT = 600.0
+
     def __init__(self, name):
         self.name = name
 
@@ -318,7 +323,8 @@ class Runner(ABC):
             limit = None
 
         pending = list(enumerate(instances))
-        live = {}  # index -> [process, parent_conn, solve-start time or None]
+        # index -> [process, parent_conn, solve-start time or None, spawn time]
+        live = {}
         import time as _time
 
         while pending or live:
@@ -331,11 +337,11 @@ class Runner(ABC):
                 )
                 proc.start()
                 child_conn.close()
-                live[index] = [proc, parent_conn, None]
+                live[index] = [proc, parent_conn, None, _time.monotonic()]
 
             _time.sleep(0.05)
             for index in list(live):
-                proc, conn, started = live[index]
+                proc, conn, started, spawned = live[index]
                 instance = instances[index]
                 if conn.poll():
                     tag, payload = conn.recv()
@@ -362,6 +368,23 @@ class Runner(ABC):
                         "Killed %s after %gs", instance.name, limit
                     )
                     yield instance, Outcome("timeout", elapsed=limit).row(instance)
+                elif (
+                    started is None
+                    and _time.monotonic() - spawned > self.STARTUP_TIMEOUT
+                ):
+                    # a child that wedges BEFORE the 'started' marker
+                    # (import/compile hang) never enters the time-limit
+                    # clock above; without this absolute startup deadline
+                    # the sweep would block forever on it
+                    proc.terminate()
+                    proc.join()
+                    del live[index]
+                    run_logger.warning(
+                        "Killed %s: no startup within %gs",
+                        instance.name,
+                        self.STARTUP_TIMEOUT,
+                    )
+                    yield instance, Outcome("error").row(instance)
 
     # -- entry point -----------------------------------------------------
 

@@ -97,42 +97,63 @@ def solve_ip(fns, factor_solve, xhat, yhat, lamb, rho, lb, ub,
     mu0 = jnp.asarray(MU_INIT, dtype)
     zl0 = jnp.where(has_l, mu0 / jnp.where(has_l, x0 - lb, 1.0), 0.0)
     zu0 = jnp.where(has_u, mu0 / jnp.where(has_u, ub - x0, 1.0), 0.0)
-    w0 = -fns.cons(x0) / jnp.where(sqrt_l == 0.0, 1.0, sqrt_l)
     nu0 = yhat
 
-    def kkt_error(x, w, nu, zl, zu, mu):
-        cons = fns.cons(x)
-        jac = fns.cons_jac(x)
-        sigma, grad_bnd, comp, _ = _sigma_and_barrier(x, lb, ub, zl, zu, mu)
+    # ONE problem-evaluation set (obj_grad, cons, cons_jac) per IP
+    # iteration: the set is computed at each accepted point and CARRIED
+    # through the loop state — the residuals are mu-independent, so the
+    # barrier re-centering and the next iteration's linear system reuse
+    # the same evaluations (the controller charges counters accordingly)
+    def eval_set(x):
+        return dict(cons=fns.cons(x), jac=fns.cons_jac(x), grad=fns.obj_grad(x))
+
+    def residuals(es, x, w, nu, zl, zu):
+        """mu-independent KKT residual pieces from a carried eval set."""
+        sigma, grad_bnd, _, _ = _sigma_and_barrier(
+            x, lb, ub, zl, zu, jnp.zeros((), dtype)
+        )
         r_x = (
-            fns.obj_grad(x)
-            + rho * (jac.T @ cons)
+            es["grad"]
+            + rho * (es["jac"].T @ es["cons"])
             + lamb * (x - xhat)
-            + jac.T @ nu
+            + es["jac"].T @ nu
             + grad_bnd
         )
         r_w = w - sqrt_l * yhat + sqrt_l * nu
-        r_g = cons + sqrt_l * w
-        err = jnp.maximum(
+        r_g = es["cons"] + sqrt_l * w
+        err_res = jnp.maximum(
             jnp.max(jnp.abs(r_x)),
             jnp.maximum(
                 jnp.max(jnp.abs(r_w), initial=0.0),
                 jnp.max(jnp.abs(r_g), initial=0.0),
             ),
         )
-        return jnp.maximum(err, comp), (r_x, r_w, r_g, cons, jac, sigma)
+        return r_x, r_w, r_g, sigma, err_res
+
+    def comp_at(x, zl, zu, mu):
+        """Complementarity residual at barrier parameter mu."""
+        sl = jnp.where(has_l, x - lb, 1.0)
+        su = jnp.where(has_u, ub - x, 1.0)
+        return jnp.maximum(
+            jnp.max(jnp.where(has_l, jnp.abs(sl * zl - mu), 0.0), initial=0.0),
+            jnp.max(jnp.where(has_u, jnp.abs(su * zu - mu), 0.0), initial=0.0),
+        )
+
+    es0 = eval_set(x0)
+    w0 = -es0["cons"] / jnp.where(sqrt_l == 0.0, 1.0, sqrt_l)
 
     def body(c):
         x, w, nu, zl, zu, mu = c["x"], c["w"], c["nu"], c["zl"], c["zu"], c["mu"]
+        es = c["es"]
 
-        err, (r_x, r_w, r_g, cons, jac, sigma) = kkt_error(x, w, nu, zl, zu, mu)
+        r_x, r_w, r_g, sigma, err_res = residuals(es, x, w, nu, zl, zu)
+        cons, jac = es["cons"], es["jac"]
+        err = jnp.maximum(err_res, comp_at(x, zl, zu, mu))
 
         # barrier update: once the inner system is solved to mu accuracy,
         # tighten (monotone Fiacco-McCormick)
         tighten = err <= jnp.maximum(10.0 * mu, tol)
         mu = jnp.where(tighten, jnp.maximum(mu / 5.0, MU_MIN), mu)
-        # re-center the barrier residuals at the (possibly) new mu
-        _, (r_x, r_w, r_g, cons, jac, sigma) = kkt_error(x, w, nu, zl, zu, mu)
 
         # perturbed-complementarity form of the bound contribution:
         # r_x uses -mu/sl + mu/su after eliminating dzl/dzu
@@ -191,9 +212,11 @@ def solve_ip(fns, factor_solve, xhat, yhat, lamb, rho, lb, ub,
         zl_n = jnp.where(has_l, jnp.maximum(zl + a_d * dzl, MU_MIN), 0.0)
         zu_n = jnp.where(has_u, jnp.maximum(zu + a_d * dzu, MU_MIN), 0.0)
 
-        err_n, _ = kkt_error(x_n, w_n, nu_n, zl_n, zu_n, jnp.zeros_like(mu))
+        es_n = eval_set(x_n)
+        _, _, _, _, err_res_n = residuals(es_n, x_n, w_n, nu_n, zl_n, zu_n)
+        err_n = jnp.maximum(err_res_n, comp_at(x_n, zl_n, zu_n, jnp.zeros_like(mu)))
         return dict(
-            x=x_n, w=w_n, nu=nu_n, zl=zl_n, zu=zu_n, mu=mu,
+            x=x_n, w=w_n, nu=nu_n, zl=zl_n, zu=zu_n, mu=mu, es=es_n,
             err=err_n, i=c["i"] + 1, stalled=jnp.logical_not(finite),
         )
 
@@ -203,9 +226,10 @@ def solve_ip(fns, factor_solve, xhat, yhat, lamb, rho, lb, ub,
             jnp.logical_and(c["err"] > tol, jnp.logical_not(c["stalled"])),
         )
 
-    err0, _ = kkt_error(x0, w0, nu0, zl0, zu0, jnp.zeros_like(mu0))
+    _, _, _, _, err_res0 = residuals(es0, x0, w0, nu0, zl0, zu0)
+    err0 = jnp.maximum(err_res0, comp_at(x0, zl0, zu0, jnp.zeros_like(mu0)))
     init = dict(
-        x=x0, w=w0, nu=nu0, zl=zl0, zu=zu0, mu=mu0,
+        x=x0, w=w0, nu=nu0, zl=zl0, zu=zu0, mu=mu0, es=es0,
         err=err0, i=jnp.zeros((), jnp.int32),
         stalled=jnp.zeros((), bool),
     )

@@ -27,6 +27,13 @@ def make_optimizing(cfg: ControlCfg):
     fns = cfg.fns
     lb, ub = cfg.lb, cfg.ub
 
+    # Deliberately NOT routed through params.linear_solver_type: in the
+    # reference the subproblem goes to Ipopt, whose internal factorization
+    # is likewise independent of the step solvers' configured backend
+    # (reference opti_control.py:252-267); the IP's KKT matrix is symmetric
+    # indefinite, for which the dense LDL^T tier is the right fit.  rcond
+    # stays NaN here for the same reason: the reference reports rcond only
+    # from step solvers, which this controller does not use (PARITY.md).
     lin = linear_solver(LinearSolverType.LDLT, symmetric=True)
 
     def factor_solve(K, b):
@@ -37,13 +44,13 @@ def make_optimizing(cfg: ControlCfg):
             fns, factor_solve, orig.x, orig.y, lamb, rho, lb, ub
         )
 
-        # each IP iteration evaluates grad/cons/jac/hess once (upper bound
-        # IP_MAX_IT; the loop usually exits earlier, but counters must be
-        # trace-static upper bounds or carried per-iteration — charge the
-        # actual count via the returned iteration number)
+        # each IP iteration evaluates ONE set of grad/cons/jac (carried
+        # through the loop, see ip_solver.eval_set) plus one lag_hess;
+        # the init point costs one extra grad/cons/jac set.  Charged via
+        # the actual returned iteration count.
         its = result.iterations
         counters = counters.add(
-            obj_grad=its, cons=its, cons_jac=its, lag_hess=its
+            obj_grad=its + 1, cons=its + 1, cons_jac=its + 1, lag_hess=its
         )
 
         x = jnp.where(result.converged, result.x, jnp.full_like(result.x, jnp.nan))

@@ -49,11 +49,30 @@ def main():
     solver = DistributedSolver(Rosenbrock(), Params())
     result = solver.solve(x0s)
 
+    # part 2: TimeLimit under host clock skew must stop collectively.
+    # Process 1 starts its Timer ~3.5s late; with time_limit=2 only
+    # process 0 observes the deadline locally, so without the broadcast
+    # in DistributedSolver._solve_multiprocess process 1 would re-enter
+    # run() alone and wedge on the psum (this worker then never exits).
+    import time
+
+    from pygradflow_tpu.status import SolverStatus
+
+    params2 = Params(
+        jit_chunk=4, opt_tol=0.0, iteration_limit=100000, time_limit=2.0
+    )
+    if pid == 1:
+        time.sleep(3.5)
+    result2 = DistributedSolver(Rosenbrock(), params2).solve(x0s)
+    status2 = np.asarray(result2.status)
+    assert (status2 == int(SolverStatus.TimeLimit)).all(), status2
+
     np.savez(
         out_path,
         x=np.asarray(result.x),
         status=np.asarray(result.status),
         iterations=np.asarray(result.iterations),
+        status_timelimit=status2,
     )
     print(f"[{pid}] done", flush=True)
 

@@ -74,6 +74,8 @@ def test_two_process_sweep(tmp_path):
 
     r0, r1 = [np.load(o) for o in outs]
     np.testing.assert_array_equal(r0["status"], r1["status"])
+    # skewed-clock TimeLimit run stopped collectively on both hosts
+    np.testing.assert_array_equal(r0["status_timelimit"], r1["status_timelimit"])
     np.testing.assert_array_equal(r0["x"], r1["x"])
     np.testing.assert_array_equal(r0["iterations"], r1["iterations"])
 

@@ -97,6 +97,39 @@ def test_parallel_mode_hard_kills(tmp_path):
     assert rows["fast2"]["status"] == "optimal"
 
 
+class StartupHangRunner(Runner):
+    """Children wedge BEFORE sending the 'started' marker (the spawned
+    worker re-derives instances via get_instances, which here hangs in
+    child processes only) — simulating an import/compile hang."""
+
+    STARTUP_TIMEOUT = 1.5
+
+    def __init__(self):
+        super().__init__("stuckstart")
+
+    def get_instances(self, args):
+        import multiprocessing as mp
+
+        if mp.parent_process() is not None:
+            time.sleep(60)
+        return [QuickInstance("fast1"), QuickInstance("fast2")]
+
+
+@pytest.mark.slow
+def test_parallel_mode_kills_wedged_startup(tmp_path):
+    """A child that never reaches 'started' must not block the sweep."""
+    out = str(tmp_path / "runs")
+    t0 = time.monotonic()
+    StartupHangRunner().main(
+        ["--output", out, "--time_limit", "2.0", "--parallel", "2"]
+    )
+    assert time.monotonic() - t0 < 30.0
+
+    rows = _read_rows(out)
+    assert set(rows) == {"fast1", "fast2"}
+    assert all(row["status"] == "error" for row in rows.values())
+
+
 def test_csv_schema_unchanged(tmp_path):
     from pygradflow_tpu.runners.runner import FIELDNAMES
 
