@@ -47,6 +47,22 @@ TRBDF2_E1 = math.sqrt(2.0) - 1.0
 TRBDF2_E2 = -1.0
 TRBDF2_E3 = 2.0 - math.sqrt(2.0)
 
+# SDIRK4: Hairer & Wanner II Table 6.5 (gamma = 1/4) — L-stable, stiffly
+# accurate, order 4 with an embedded order-3 estimate.  All order
+# conditions and R(-inf) = 0 are re-verified in
+# tests/test_integrator_methods.py from these exact rationals.
+SDIRK4_GAMMA = 0.25
+SDIRK4_A = (
+    (1.0 / 4.0,),
+    (1.0 / 2.0, 1.0 / 4.0),
+    (17.0 / 50.0, -1.0 / 25.0, 1.0 / 4.0),
+    (371.0 / 1360.0, -137.0 / 2720.0, 15.0 / 544.0, 1.0 / 4.0),
+    (25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0, 1.0 / 4.0),
+)
+# b - b_hat: b = last row of A (stiff accuracy), b_hat the embedded
+# order-3 weights (59/48, -17/96, 225/32, -85/12, 0)
+SDIRK4_E = (-3.0 / 16.0, -27.0 / 32.0, 25.0 / 32.0, 0.0, 1.0 / 4.0)
+
 
 def _scaled_norm(v, ref, rtol, atol):
     """scipy-style rms norm with per-component scale atol + rtol*|ref|."""
@@ -83,27 +99,17 @@ def implicit_euler_step(ctx, z, h, rho, filter, rtol, atol):
     return w, ok, iters
 
 
-def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
-    """One TR-BDF2 step from ``z``: TR stage to ``z + gamma*h``, BDF2
-    stage to ``z + h``.  Both stages solve with the SAME frozen matrix
-    ``M = I - d*h*J(z)`` (simplified Newton), so the whole step costs one
-    dense factorization plus back-solves.  Returns
-    ``(w, ok, num_newton, est)`` where ``est`` is the stiffly-filtered
-    embedded local-error estimate (Hosea & Shampine)."""
-    fz = fl.rhs(ctx, z, rho, filter)
-    J = fl.rhs_jac(ctx, z, rho, filter)
-    n_all = z.shape[0]
-    M = jnp.eye(n_all, dtype=z.dtype) - (TRBDF2_D * h) * J
-    fact = plu_factor(M)
-
-    dh = TRBDF2_D * h
+def _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol):
+    """Shared implicit-stage solver for the DIRK methods: frozen-Jacobian
+    iteration first (one shared factorization ``fact`` of
+    ``I - dh*J(z)``), escalating to full Newton — fresh ``J(w)`` and
+    refactorization per iteration, exactly as the implicit-Euler path
+    does throughout — when the frozen iteration stalls or blows up
+    (strongly nonlinear flows at large ``rho*h``)."""
 
     def newton(res_fn, w0):
-        """Stage solve: frozen-Jacobian iteration first (one shared
-        factorization), escalating to full Newton — fresh ``J(w)`` and
-        refactorization per iteration, exactly as the implicit-Euler path
-        does throughout — when the frozen iteration stalls or blows up
-        (strongly nonlinear flows at large ``rho*h``)."""
+        n_all = w0.shape[0]
+        dtype = w0.dtype
 
         def cond(carry):
             _, i, err = carry
@@ -118,12 +124,12 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
         def full_body(carry):
             w, i, err = carry
             Jw = fl.rhs_jac(ctx, w, rho, filter)
-            A = jnp.eye(n_all, dtype=z.dtype) - dh * Jw
+            A = jnp.eye(n_all, dtype=dtype) - dh * Jw
             dw = plu_solve(plu_factor(A), res_fn(w))
             w = w - dw
             return (w, i + 1, _scaled_norm(dw, w, rtol, atol))
 
-        init = (w0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, z.dtype))
+        init = (w0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
         w, iters, err = jax.lax.while_loop(cond, frozen_body, init)
         ok = jnp.logical_and(err <= 1.0, jnp.all(jnp.isfinite(w)))
 
@@ -133,6 +139,25 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
             return wf, okf, iters + itf
 
         return jax.lax.cond(ok, lambda _: (w, ok, iters), escalate, None)
+
+    return newton
+
+
+def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
+    """One TR-BDF2 step from ``z``: TR stage to ``z + gamma*h``, BDF2
+    stage to ``z + h``.  Both stages solve with the SAME frozen matrix
+    ``M = I - d*h*J(z)`` (simplified Newton), so the whole step costs one
+    dense factorization plus back-solves.  Returns
+    ``(w, ok, num_newton, est)`` where ``est`` is the stiffly-filtered
+    embedded local-error estimate (Hosea & Shampine)."""
+    fz = fl.rhs(ctx, z, rho, filter)
+    J = fl.rhs_jac(ctx, z, rho, filter)
+    n_all = z.shape[0]
+    M = jnp.eye(n_all, dtype=z.dtype) - (TRBDF2_D * h) * J
+    fact = plu_factor(M)
+
+    dh = TRBDF2_D * h
+    newton = _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol)
 
     # TR stage: w1 = z + d*h*(f(z) + f(w1))
     w1, ok1, it1 = newton(
@@ -156,6 +181,47 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
 
     ok = jnp.logical_and(ok1, ok2)
     return w, ok, it1 + it2, est
+
+
+def sdirk4_step(ctx, z, h, rho, filter, rtol, atol):
+    """One SDIRK4 step from ``z`` (Hairer & Wanner II Table 6.5,
+    gamma=1/4): five implicit stages, all with implicit weight ``h/4``,
+    so ONE frozen factorization ``M = I - h/4 J(z)`` serves every stage's
+    simplified-Newton iteration.  Stiffly accurate (the solution is the
+    last stage), L-stable, order 4 with an embedded order-3 error
+    estimate stiffly filtered through ``M^{-1}``.  Returns
+    ``(w, ok, num_newton, est)`` like :func:`trbdf2_step`."""
+    fz = fl.rhs(ctx, z, rho, filter)
+    J = fl.rhs_jac(ctx, z, rho, filter)
+    n_all = z.shape[0]
+    dh = SDIRK4_GAMMA * h
+    M = jnp.eye(n_all, dtype=z.dtype) - dh * J
+    fact = plu_factor(M)
+
+    newton = _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol)
+
+    fs = []
+    f_pred = fz  # stage predictor: f at the previous stage (f(z) first)
+    ok = jnp.ones((), bool)
+    iters = jnp.zeros((), jnp.int32)
+    for i in range(5):
+        base = z
+        for j in range(i):
+            base = base + (h * SDIRK4_A[i][j]) * fs[j]
+        y_i, ok_i, it_i = newton(
+            lambda w, base=base: w - base - dh * fl.rhs(ctx, w, rho, filter),
+            base + dh * f_pred,
+        )
+        f_i = fl.rhs(ctx, y_i, rho, filter)
+        fs.append(f_i)
+        f_pred = f_i
+        ok = jnp.logical_and(ok, ok_i)
+        iters = iters + it_i
+    w = y_i  # stiffly accurate: b = last row of A
+
+    est = h * sum(e * f for e, f in zip(SDIRK4_E, fs))
+    est = plu_solve(fact, est)
+    return w, ok, iters, est
 
 
 class SegmentResult(NamedTuple):
@@ -216,11 +282,24 @@ def make_segment_runner(
 
         return w, accept, factor, iters
 
-    step_with_error = (
-        trbdf2_step_with_error
-        if method == IntegrationMethod.TRBDF2
-        else euler_step_with_error
-    )
+    def sdirk4_step_with_error(z, h, rho, filter):
+        w, ok, iters, est = sdirk4_step(ctx, z, h, rho, filter, rtol, atol)
+
+        err_ratio = _scaled_norm(est, w, rtol, atol)
+        accept = jnp.logical_and(ok, err_ratio <= 1.0)
+
+        # order-3 embedded estimate of an order-4 method: err ~ h^4
+        factor = jnp.where(err_ratio > 0.0, 0.9 * err_ratio ** (-1.0 / 4.0), 10.0)
+        factor = jnp.clip(factor, 0.2, 10.0)
+        factor = jnp.where(ok, factor, 0.5)
+
+        return w, accept, factor, iters
+
+    step_with_error = {
+        IntegrationMethod.TRBDF2: trbdf2_step_with_error,
+        IntegrationMethod.SDIRK4: sdirk4_step_with_error,
+        IntegrationMethod.ImplicitEuler: euler_step_with_error,
+    }[method]
 
     def run(t0, z0, h0, rho, filter, grad_dirs, t_end):
         dirs = ev.event_directions(cfg, filter, grad_dirs)
@@ -305,6 +384,12 @@ def make_segment_runner(
 
         def single(z, h, rho, filter):
             w, ok, _, _ = trbdf2_step(ctx, z, h, rho, filter, rtol, atol)
+            return w, ok
+
+    elif method == IntegrationMethod.SDIRK4:
+
+        def single(z, h, rho, filter):
+            w, ok, _, _ = sdirk4_step(ctx, z, h, rho, filter, rtol, atol)
             return w, ok
 
     else:

@@ -117,12 +117,23 @@ class IntegrationMethod(Enum):
 
     The reference delegates to scipy BDF
     (``pygradflow/integration/integration_solver.py:278-285``); the
-    TPU-native engine ships two fully jitted one-step methods."""
+    TPU-native engine ships three fully jitted one-step methods."""
+
+    SDIRK4 = auto()
+    """L-stable 5-stage SDIRK of order 4 (Hairer & Wanner II, Table 6.5,
+    gamma=1/4) with an embedded 3rd-order error estimate; one Jacobian
+    factorization per attempted step shared by all stages.  Matches the
+    step counts of the reference's scipy BDF-5 (HS71: 194 vs 180, Tame:
+    240 vs 239 at rho=1e-2) where TR-BDF2 needs 2.4-2.9x more; event
+    sequences are identical in kind and order, but the higher accuracy
+    typically converges before the final penalty rung fires (one fewer
+    segment than the TR-BDF2/reference tail — see PARITY.md)."""
 
     TRBDF2 = auto()
     """L-stable one-step TR-BDF2 (trapezoidal + BDF2 composite, order 2
     with an embedded 3rd-order error estimate); one Jacobian
-    factorization per attempted step.  Default."""
+    factorization per attempted step.  Default: reproduces the
+    reference's event/segment sequences exactly."""
 
     ImplicitEuler = auto()
     """Step-doubled implicit Euler with Richardson extrapolation; three
