@@ -1,13 +1,24 @@
-"""Batched continuous-flow solves: vmap over the device-resident
-integration loop.
+"""Batched continuous-flow solves on the flat chunked engine.
 
 The reference's scipy-BDF IntegrationSolver is inherently sequential per
-instance; this runs a whole batch of continuous-homotopy solves in
-lockstep on one chip (and under ``shard_map`` across a mesh), the same
-instance-axis parallelism as ``parallel/batch.py`` for the discrete
-engine.  Each lane carries its own filter, penalty and event sequence —
-lanes diverge freely; finished lanes are frozen by the while_loop
-batching rule until the last lane terminates.
+instance; this runs a whole batch of continuous-homotopy solves on one
+chip (and under ``shard_map`` across a mesh), the same instance-axis
+parallelism as ``parallel/batch.py`` for the discrete engine.
+
+Round-2 lesson (``artifacts/r2_integration_batch.json``: 0.08x the
+sequential reference): vmapping the NESTED device loop synchronizes
+lanes at every nesting level and pays both sides of every ``lax.cond``.
+This version uses ``integration/flat_loop.py`` — one uniform work unit
+per loop iteration, so lanes progress independently — and executes in
+chunks of ``params.integration_chunk`` work units:
+
+- ``params.time_limit`` is enforced between dispatches (no dispatch is
+  unboundedly long — a straggler lane cannot wedge the TPU tunnel);
+- converged lanes are harvested at chunk boundaries and the active
+  remainder is compacted to the next power-of-two tier, so late-stage
+  straggler chunks run on small batches (pays off on CPU and in
+  HBM/step cost on wide batches; the lockstep critical path itself is
+  already solved by the flat engine).
 """
 
 from typing import Any, NamedTuple, Optional
@@ -18,10 +29,14 @@ import numpy as np
 
 from ..iterate import bounds_dual, evaluate_iterate
 from ..params import Params
-from ..status import SolverStatus
+from ..status import RUNNING, SolverStatus
+from ..timer import Timer
 from . import flow as fl
-from .device_loop import make_device_loop
+from .flat_loop import make_flat_loop
 from .integration_solver import IntegrationSolver
+
+_HARVEST_KEYS = ("z", "status", "iteration", "rho", "steps", "newtons")
+_MIN_TIER = 8
 
 
 class BatchedIntegrationResult(NamedTuple):
@@ -50,40 +65,41 @@ class BatchedIntegrationSolver:
         self.params = self.inner.params
 
         inner = self.inner
-        loop = make_device_loop(
-            inner.cfg,
-            inner.fns,
-            inner.lb,
-            inner.ub,
-            inner.params,
-            inner._run_segment,
-            inner._step_fn,
-        )
         transform = inner.transform
         fns = inner.fns
         lb, ub = inner.lb, inner.ub
         active_tol = inner.params.active_tol
         ctx = inner.ctx
 
-        def solve_one(x0, y0):
+        init_fn, chunk_fn, _ = make_flat_loop(
+            inner.cfg, fns, lb, ub, inner.params
+        )
+        self._chunk_fn = chunk_fn
+
+        def init_one(x0, y0):
             xt, yt = transform.transform_sol(x0, y0)
-            res = loop(xt, yt)
-            x, y = fl.split(ctx, res.z)
+            return init_fn(xt, yt)
+
+        self._init = jax.jit(jax.vmap(init_one))
+
+        def post_one(z):
+            x, y = fl.split(ctx, z)
             it = evaluate_iterate(fns, x, y)
             d = bounds_dual(it, lb, ub, active_tol)
-            xr, yr, dr = transform.restore_sol(it.x, it.y, d)
-            return dict(
-                x=xr,
-                y=yr,
-                d=dr,
-                status=res.status,
-                iterations=res.iterations,
-                rho=res.rho,
-                steps=res.num_steps,
-                newtons=res.num_newtons,
-            )
+            return transform.restore_sol(it.x, it.y, d)
 
-        self._solve_batch = jax.jit(jax.vmap(solve_one))
+        self._post = jax.jit(jax.vmap(post_one))
+        self._chunks = {}  # padded tier size -> jitted vmapped chunk
+
+    def _chunk_for(self, tier: int):
+        if tier not in self._chunks:
+            budget = int(self.params.integration_chunk)
+            self._chunks[tier] = jax.jit(
+                jax.vmap(lambda s: self._chunk_fn(s, budget))
+            )
+        return self._chunks[tier]
+
+    # ------------------------------------------------------------------
 
     def solve(self, x0s, y0s=None) -> BatchedIntegrationResult:
         params = self.params
@@ -96,15 +112,77 @@ class BatchedIntegrationSolver:
         else:
             y0s = jnp.asarray(y0s, dtype=params.dtype)
 
-        out = jax.device_get(self._solve_batch(x0s, y0s))
+        states = self._init(x0s, y0s)
+        timer = Timer(params.time_limit)
+
+        final = {k: [None] * B for k in _HARVEST_KEYS}
+        active_orig = np.arange(B)
+
+        def harvest(rows_local, rows_orig, states, timed_out=False):
+            # ONE packed transfer (each eager fetch costs ~30 ms through
+            # the TPU tunnel)
+            sub = jax.device_get(
+                {k: states[k][rows_local] for k in _HARVEST_KEYS}
+            )
+            if timed_out:
+                sub["status"] = np.where(
+                    sub["status"] == RUNNING,
+                    int(SolverStatus.TimeLimit),
+                    sub["status"],
+                )
+            for j, orig in enumerate(rows_orig):
+                for k in _HARVEST_KEYS:
+                    final[k][orig] = sub[k][j]
+
+        while active_orig.size:
+            L = int(active_orig.size)
+            tier = max(_MIN_TIER, 1 << (L - 1).bit_length())
+            if tier > L:
+                # pad with frozen copies of lane 0 (status DONE-equivalent)
+                pad = tier - L
+
+                def pad_leaf(a, key=None):
+                    fill = jnp.repeat(a[:1], pad, axis=0)
+                    return jnp.concatenate([a, fill], axis=0)
+
+                states = {
+                    k: pad_leaf(v) for k, v in states.items()
+                }
+                states["status"] = states["status"].at[L:].set(
+                    int(SolverStatus.IterationLimit)
+                )
+
+            states = self._chunk_for(tier)(states)
+            status = np.asarray(states["status"][:L])
+            done_local = np.where(status != RUNNING)[0]
+
+            if timer.reached_time_limit():
+                harvest(np.arange(L), active_orig, states, timed_out=True)
+                active_orig = np.arange(0)
+                break
+
+            if done_local.size:
+                harvest(done_local, active_orig[done_local], states)
+                keep = np.where(status == RUNNING)[0]
+                active_orig = active_orig[keep]
+                if active_orig.size:
+                    keep_dev = jnp.asarray(keep)
+                    states = {
+                        k: v[keep_dev] for k, v in states.items()
+                    }
+            else:
+                states = {k: v[:L] for k, v in states.items()}
+
+        z = jnp.asarray(np.stack(final["z"], axis=0))
+        xr, yr, dr = jax.device_get(self._post(z))
 
         return BatchedIntegrationResult(
-            x=out["x"],
-            y=out["y"],
-            d=out["d"],
-            status=out["status"],
-            iterations=out["iterations"],
-            rho=out["rho"],
-            num_integration_steps=out["steps"],
-            num_newton_steps=out["newtons"],
+            x=xr,
+            y=yr,
+            d=dr,
+            status=np.asarray(final["status"], dtype=np.int32),
+            iterations=np.asarray(final["iteration"], dtype=np.int32),
+            rho=np.asarray(final["rho"]),
+            num_integration_steps=np.asarray(final["steps"], dtype=np.int32),
+            num_newton_steps=np.asarray(final["newtons"], dtype=np.int32),
         )

@@ -25,7 +25,7 @@ from ..iterate import bounds_dual, evaluate_iterate, is_feasible, locally_infeas
 from ..log import logger
 from ..params import Params
 from ..result import SolverResult
-from ..status import SolverStatus
+from ..status import RUNNING, SolverStatus
 from ..timer import Timer
 from ..transform import Transformation
 from . import events as ev
@@ -286,14 +286,23 @@ class IntegrationSolver:
     # ------------------------------------------------------------------
 
     def _solve_device(self, x, y):
-        """Single-dispatch solve through the device-resident loop
-        (``Params.integration_device_loop``)."""
+        """Device-resident solve (``Params.integration_device_loop``).
+
+        With ``time_limit=inf`` (the default) the whole solve is ONE
+        dispatch of ``device_loop.py``.  With a finite limit it runs the
+        flat chunked engine (``flat_loop.py``) in dispatches of
+        ``params.integration_chunk`` work units, checking the Timer
+        between dispatches — the limit is enforceable and no single
+        dispatch can wedge the TPU tunnel unboundedly."""
         import jax
 
         from .device_loop import make_device_loop
 
         params = self.params
         timer = Timer(params.time_limit)
+
+        if np.isfinite(params.time_limit):
+            return self._solve_device_chunked(x, y, timer)
 
         if not hasattr(self, "_device_run"):
             loop = make_device_loop(
@@ -328,6 +337,72 @@ class IntegrationSolver:
             dist_factor=dist_factor,
             num_integration_steps=int(res.num_steps),
             num_newton_steps=int(res.num_newtons),
+        )
+
+    def _solve_device_chunked(self, x, y, timer):
+        """Flat chunked engine: time_limit enforced at chunk boundaries."""
+        import jax
+
+        from .flat_loop import make_flat_loop
+
+        params = self.params
+
+        if not hasattr(self, "_flat"):
+            init_fn, chunk_fn, _ = make_flat_loop(
+                self.cfg, self.fns, self.lb, self.ub, params
+            )
+            budget = int(params.integration_chunk)
+            self._flat = (
+                jax.jit(init_fn),
+                jax.jit(lambda s: chunk_fn(s, budget)),
+            )
+        init_fn, run_chunk = self._flat
+
+        state = init_fn(x, y)
+        status = int(SolverStatus.TimeLimit)
+        while True:
+            state = run_chunk(state)
+            status = int(jax.device_get(state["status"]))
+            if status != int(RUNNING):
+                break
+            if timer.reached_time_limit():
+                status = int(SolverStatus.TimeLimit)
+                break
+
+        def post(state):
+            xr, yr = fl.split(self.ctx, state["z"])
+            it = evaluate_iterate(self.fns, xr, yr)
+            d = bounds_dual(it, self.lb, self.ub, params.active_tol)
+            return (
+                it.x, it.y, d, state["path_dist"], state["iteration"],
+                state["steps"], state["newtons"],
+            )
+
+        xf, yf, d, path_dist, iters, steps, newtons = jax.device_get(
+            jax.jit(post)(state)
+        )
+
+        (xr, yr, dr) = self.transform.restore_sol(xf, yf, d)
+        direct = float(
+            np.linalg.norm(
+                np.concatenate([xf, yf])
+                - np.concatenate([np.asarray(x), np.asarray(y)])
+            )
+        )
+        dist_factor = float(path_dist) / direct if direct != 0.0 else 1.0
+
+        return SolverResult(
+            self.problem,
+            xr,
+            yr,
+            dr,
+            SolverStatus(status),
+            iterations=int(iters),
+            num_accepted_steps=int(iters),
+            total_time=timer.elapsed(),
+            dist_factor=dist_factor,
+            num_integration_steps=int(steps),
+            num_newton_steps=int(newtons),
         )
 
     # ------------------------------------------------------------------

@@ -269,7 +269,17 @@ class Params:
     (``integration/device_loop.py``) instead of the host-driven event
     loop: one dispatch per solve instead of several per segment —
     the latency path on accelerators behind slow links.  Incompatible
-    with ``collect_path`` and live display (host driver used then)."""
+    with ``collect_path`` and live display (host driver used then).
+    With a finite ``time_limit`` the solve runs through the flat chunked
+    engine (``integration/flat_loop.py``) so the limit is enforced at
+    chunk boundaries and no dispatch is unboundedly long."""
+
+    integration_chunk: int = 512
+    """Work units (step attempts / bisection probes) per dispatch of the
+    flat chunked engine: batched continuous solves and time-limited
+    device-loop solves.  Bounds dispatch length (a wedged dispatch
+    cannot exceed one chunk) and sets the cadence of time-limit checks
+    and converged-lane harvesting."""
 
     linesearch_max_it: int = 30
     """Maximum Armijo backtracking trials of the globalized Newton method."""

@@ -109,3 +109,53 @@ def test_device_loop_tame_matches_host():
     assert dev.status == host.status
     assert dev.iterations == host.iterations
     np.testing.assert_array_equal(dev.x, host.x)
+
+
+def test_batched_time_limit():
+    """A tiny time_limit stops between chunks with TimeLimit statuses."""
+    inst = hs71_instance()
+    params = Params(
+        iteration_limit=1000, rho=1e-2, time_limit=1e-9, integration_chunk=8
+    )
+    x0s = np.stack([inst.x_0, inst.x_0 + 0.01])
+    res = BatchedIntegrationSolver(inst.problem, params).solve(x0s)
+    assert (np.asarray(res.status) == int(SolverStatus.TimeLimit)).all()
+
+
+def test_batched_compaction_many_chunks():
+    """Small chunks force many dispatches, harvests and tier repacks;
+    results must land in original lane order."""
+    inst = hs71_instance()
+    rng = np.random.default_rng(3)
+    x0s = np.stack(
+        [inst.x_0 + rng.uniform(-0.05, 0.05, size=inst.x_0.shape) for _ in range(6)]
+    )
+    params = Params(iteration_limit=1000, rho=1e-2, integration_chunk=64)
+    res = BatchedIntegrationSolver(inst.problem, params).solve(x0s)
+    assert res.success.all()
+    # every lane converges to the HS71 optimum regardless of harvest order
+    np.testing.assert_allclose(res.x, np.tile(inst.x_opt, (6, 1)), atol=1e-6)
+    # lanes genuinely finish at different chunk boundaries
+    assert len(set(res.num_integration_steps.tolist())) > 1
+
+
+def test_device_loop_finite_time_limit_chunked():
+    """Finite time_limit routes through the flat chunked engine; a
+    generous limit reproduces the single-dispatch device-loop result, a
+    tiny limit yields TimeLimit."""
+    inst = hs71_instance()
+    base = dict(iteration_limit=1000, rho=1e-2, integration_device_loop=True)
+
+    ref = IntegrationSolver(inst.problem, Params(**base)).solve(inst.x_0, inst.y_0)
+    gen = IntegrationSolver(
+        inst.problem, Params(**base, time_limit=9000.0)
+    ).solve(inst.x_0, inst.y_0)
+    assert gen.status == ref.status
+    assert gen.iterations == ref.iterations
+    assert gen.num_integration_steps == ref.num_integration_steps
+    np.testing.assert_allclose(np.asarray(gen.x), np.asarray(ref.x), rtol=1e-12)
+
+    cut = IntegrationSolver(
+        inst.problem, Params(**base, time_limit=1e-9, integration_chunk=8)
+    ).solve(inst.x_0, inst.y_0)
+    assert cut.status == SolverStatus.TimeLimit
