@@ -278,6 +278,7 @@ class IntegrationSolver:
             dist_factor=dist_factor,
             num_integration_steps=total_steps,
             num_newton_steps=total_newtons,
+            final_rho=rho,
         )
         if path is not None:
             result._set_path(np.hstack(path), np.hstack(path_times))
@@ -337,6 +338,7 @@ class IntegrationSolver:
             dist_factor=dist_factor,
             num_integration_steps=int(res.num_steps),
             num_newton_steps=int(res.num_newtons),
+            final_rho=float(res.rho),
         )
 
     def _solve_device_chunked(self, x, y, timer):
@@ -375,10 +377,10 @@ class IntegrationSolver:
             d = bounds_dual(it, self.lb, self.ub, params.active_tol)
             return (
                 it.x, it.y, d, state["path_dist"], state["iteration"],
-                state["steps"], state["newtons"],
+                state["steps"], state["newtons"], state["rho"],
             )
 
-        xf, yf, d, path_dist, iters, steps, newtons = jax.device_get(
+        xf, yf, d, path_dist, iters, steps, newtons, rho = jax.device_get(
             jax.jit(post)(state)
         )
 
@@ -403,6 +405,7 @@ class IntegrationSolver:
             dist_factor=dist_factor,
             num_integration_steps=int(steps),
             num_newton_steps=int(newtons),
+            final_rho=float(rho),
         )
 
     # ------------------------------------------------------------------

@@ -641,6 +641,297 @@ HS_SPECS = [
         cons_ub=_a(5.0, 4.0, INF),
         f_opt=-4.681818181,
     ),
+    # ---- round-3 additions: inequality-heavy problems stressing
+    # active-set churn and the penalty filters (book formulations)
+    HSSpec(
+        name="hs34",
+        obj=lambda x: -x[0],
+        var_lb=_a(0.0, 0.0, 0.0),
+        var_ub=_a(100.0, 100.0, 10.0),
+        x0=_a(0.0, 1.05, 2.9),
+        cons=lambda x: jnp.array(
+            [x[1] - jnp.exp(x[0]), x[2] - jnp.exp(x[1])]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        x_opt=_a(math.log(math.log(10.0)), math.log(10.0), 10.0),
+        f_opt=-math.log(math.log(10.0)),
+    ),
+    HSSpec(
+        name="hs39",
+        obj=lambda x: -x[0],
+        var_lb=np.full(4, -INF),
+        var_ub=np.full(4, INF),
+        x0=np.full(4, 2.0),
+        cons=lambda x: jnp.array(
+            [x[1] - x[0] ** 3 - x[2] ** 2, x[0] ** 2 - x[1] - x[3] ** 2]
+        ),
+        num_eq_cons=2,
+        x_opt=_a(1.0, 1.0, 0.0, 0.0),
+        f_opt=-1.0,
+    ),
+    HSSpec(
+        name="hs40",
+        obj=lambda x: -x[0] * x[1] * x[2] * x[3],
+        var_lb=np.full(4, -INF),
+        var_ub=np.full(4, INF),
+        x0=np.full(4, 0.8),
+        cons=lambda x: jnp.array(
+            [
+                x[0] ** 3 + x[1] ** 2 - 1.0,
+                x[0] ** 2 * x[3] - x[2],
+                x[3] ** 2 - x[1],
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=-0.25,
+    ),
+    HSSpec(
+        name="hs44",
+        obj=lambda x: (
+            x[0] - x[1] - x[2] - x[0] * x[2] + x[0] * x[3]
+            + x[1] * x[2] - x[1] * x[3]
+        ),
+        var_lb=np.zeros(4),
+        var_ub=np.full(4, INF),
+        x0=np.zeros(4),
+        cons=lambda x: jnp.array(
+            [
+                8.0 - x[0] - 2.0 * x[1],
+                12.0 - 4.0 * x[0] - x[1],
+                12.0 - 3.0 * x[0] - 4.0 * x[1],
+                8.0 - 2.0 * x[2] - x[3],
+                8.0 - x[2] - 2.0 * x[3],
+                5.0 - x[2] - x[3],
+            ]
+        ),
+        cons_lb=np.zeros(6),
+        cons_ub=np.full(6, INF),
+        # nonconvex (bilinear): from the book start the homotopy reaches
+        # the local KKT point f=-13 at (3,0,4,0); the book's global
+        # optimum is f=-15 at (0,3,0,4)
+        x_opt=None,
+        f_opt=None,
+    ),
+    HSSpec(
+        name="hs60",
+        obj=lambda x: (
+            (x[0] - 1.0) ** 2
+            + (x[0] - x[1]) ** 2
+            + (x[1] - x[2]) ** 4
+        ),
+        var_lb=np.full(3, -10.0),
+        var_ub=np.full(3, 10.0),
+        x0=np.full(3, 2.0),
+        cons=lambda x: jnp.array(
+            [x[0] * (1.0 + x[1] ** 2) + x[2] ** 4 - 4.0 - 3.0 * math.sqrt(2.0)]
+        ),
+        num_eq_cons=1,
+        f_opt=0.03256820025,
+    ),
+    HSSpec(
+        name="hs63",
+        obj=lambda x: (
+            1000.0 - x[0] ** 2 - 2.0 * x[1] ** 2 - x[2] ** 2
+            - x[0] * x[1] - x[0] * x[2]
+        ),
+        var_lb=np.zeros(3),
+        var_ub=np.full(3, INF),
+        x0=np.full(3, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                8.0 * x[0] + 14.0 * x[1] + 7.0 * x[2] - 56.0,
+                x[0] ** 2 + x[1] ** 2 + x[2] ** 2 - 25.0,
+            ]
+        ),
+        num_eq_cons=2,
+        f_opt=961.7151721,
+    ),
+    HSSpec(
+        name="hs64",
+        obj=lambda x: (
+            5.0 * x[0] + 50000.0 / x[0]
+            + 20.0 * x[1] + 72000.0 / x[1]
+            + 10.0 * x[2] + 144000.0 / x[2]
+        ),
+        var_lb=np.full(3, 1e-5),
+        var_ub=np.full(3, INF),
+        x0=np.ones(3),
+        cons=lambda x: jnp.array(
+            [1.0 - 4.0 / x[0] - 32.0 / x[1] - 120.0 / x[2]]
+        ),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(108.7347175, 85.12613942, 204.3247078),
+        f_opt=6299.842428,
+    ),
+    HSSpec(
+        name="hs65",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[0] + x[1] - 10.0) ** 2 / 9.0
+            + (x[2] - 5.0) ** 2
+        ),
+        var_lb=_a(-4.5, -4.5, -5.0),
+        var_ub=_a(4.5, 4.5, 5.0),
+        x0=_a(-5.0, 5.0, 0.0),  # book start (outside bounds; clipped)
+        cons=lambda x: jnp.array(
+            [48.0 - x[0] ** 2 - x[1] ** 2 - x[2] ** 2]
+        ),
+        cons_lb=_a(0.0),
+        cons_ub=_a(INF),
+        x_opt=_a(3.650461821, 3.65046168, 4.6204170507),
+        f_opt=0.9535288567,
+    ),
+    HSSpec(
+        name="hs66",
+        obj=lambda x: 0.2 * x[2] - 0.8 * x[0],
+        var_lb=_a(0.0, 0.0, 0.0),
+        var_ub=_a(100.0, 100.0, 10.0),
+        x0=_a(0.0, 1.05, 2.9),
+        cons=lambda x: jnp.array(
+            [x[1] - jnp.exp(x[0]), x[2] - jnp.exp(x[1])]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        x_opt=_a(0.1841264879, 1.202167873, 3.327322322),
+        f_opt=0.5181632741,
+    ),
+    HSSpec(
+        name="hs78",
+        obj=lambda x: x[0] * x[1] * x[2] * x[3] * x[4],
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(-2.0, 1.5, 2.0, -1.0, -1.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] ** 2 + x[1] ** 2 + x[2] ** 2 + x[3] ** 2 + x[4] ** 2
+                - 10.0,
+                x[1] * x[2] - 5.0 * x[3] * x[4],
+                x[0] ** 3 + x[1] ** 3 + 1.0,
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=-2.91970041,
+    ),
+    HSSpec(
+        name="hs79",
+        obj=lambda x: (
+            (x[0] - 1.0) ** 2
+            + (x[0] - x[1]) ** 2
+            + (x[1] - x[2]) ** 2
+            + (x[2] - x[3]) ** 4
+            + (x[3] - x[4]) ** 4
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=np.full(5, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + x[1] ** 2 + x[2] ** 3 - 2.0 - 3.0 * math.sqrt(2.0),
+                x[1] - x[2] ** 2 + x[3] + 2.0 - 2.0 * math.sqrt(2.0),
+                x[0] * x[4] - 2.0,
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=0.0787768209,
+    ),
+    HSSpec(
+        name="hs93",
+        obj=lambda x: (
+            0.0204 * x[0] * x[3] * (x[0] + x[1] + x[2])
+            + 0.0187 * x[1] * x[2] * (x[0] + 1.57 * x[1] + x[3])
+            + 0.0607 * x[0] * x[3] * x[4] ** 2 * (x[0] + x[1] + x[2])
+            + 0.0437 * x[1] * x[2] * x[5] ** 2 * (x[0] + 1.57 * x[1] + x[3])
+        ),
+        var_lb=np.zeros(6),
+        var_ub=np.full(6, INF),
+        x0=_a(5.54, 4.4, 12.02, 11.82, 0.702, 0.852),
+        cons=lambda x: jnp.array(
+            [
+                0.001 * x[0] * x[1] * x[2] * x[3] * x[4] * x[5] - 2.07,
+                1.0
+                - 0.00062 * x[0] * x[3] * x[4] ** 2 * (x[0] + x[1] + x[2])
+                - 0.00058 * x[1] * x[2] * x[5] ** 2
+                * (x[0] + 1.57 * x[1] + x[3]),
+            ]
+        ),
+        cons_lb=_a(0.0, 0.0),
+        cons_ub=_a(INF, INF),
+        f_opt=135.075961,
+    ),
+    HSSpec(
+        name="hs100",
+        obj=lambda x: (
+            (x[0] - 10.0) ** 2
+            + 5.0 * (x[1] - 12.0) ** 2
+            + x[2] ** 4
+            + 3.0 * (x[3] - 11.0) ** 2
+            + 10.0 * x[4] ** 6
+            + 7.0 * x[5] ** 2
+            + x[6] ** 4
+            - 4.0 * x[5] * x[6]
+            - 10.0 * x[5]
+            - 8.0 * x[6]
+        ),
+        var_lb=np.full(7, -INF),
+        var_ub=np.full(7, INF),
+        x0=_a(1.0, 2.0, 0.0, 4.0, 0.0, 1.0, 1.0),
+        cons=lambda x: jnp.array(
+            [
+                127.0 - 2.0 * x[0] ** 2 - 3.0 * x[1] ** 4 - x[2]
+                - 4.0 * x[3] ** 2 - 5.0 * x[4],
+                282.0 - 7.0 * x[0] - 3.0 * x[1] - 10.0 * x[2] ** 2
+                - x[3] + x[4],
+                196.0 - 23.0 * x[0] - x[1] ** 2 - 6.0 * x[5] ** 2
+                + 8.0 * x[6],
+                -4.0 * x[0] ** 2 - x[1] ** 2 + 3.0 * x[0] * x[1]
+                - 2.0 * x[2] ** 2 - 5.0 * x[5] + 11.0 * x[6],
+            ]
+        ),
+        cons_lb=np.zeros(4),
+        cons_ub=np.full(4, INF),
+        f_opt=680.6300573,
+    ),
+    HSSpec(
+        name="hs113",
+        obj=lambda x: (
+            x[0] ** 2 + x[1] ** 2 + x[0] * x[1]
+            - 14.0 * x[0] - 16.0 * x[1]
+            + (x[2] - 10.0) ** 2
+            + 4.0 * (x[3] - 5.0) ** 2
+            + (x[4] - 3.0) ** 2
+            + 2.0 * (x[5] - 1.0) ** 2
+            + 5.0 * x[6] ** 2
+            + 7.0 * (x[7] - 11.0) ** 2
+            + 2.0 * (x[8] - 10.0) ** 2
+            + (x[9] - 7.0) ** 2
+            + 45.0
+        ),
+        var_lb=np.full(10, -INF),
+        var_ub=np.full(10, INF),
+        x0=_a(2.0, 3.0, 5.0, 5.0, 1.0, 2.0, 7.0, 3.0, 6.0, 10.0),
+        cons=lambda x: jnp.array(
+            [
+                105.0 - 4.0 * x[0] - 5.0 * x[1] + 3.0 * x[6] - 9.0 * x[7],
+                -10.0 * x[0] + 8.0 * x[1] + 17.0 * x[6] - 2.0 * x[7],
+                8.0 * x[0] - 2.0 * x[1] - 5.0 * x[8] + 2.0 * x[9] + 12.0,
+                -3.0 * (x[0] - 2.0) ** 2 - 4.0 * (x[1] - 3.0) ** 2
+                - 2.0 * x[2] ** 2 + 7.0 * x[3] + 120.0,
+                -5.0 * x[0] ** 2 - 8.0 * x[1] - (x[2] - 6.0) ** 2
+                + 2.0 * x[3] + 40.0,
+                -(x[0] ** 2) - 2.0 * (x[1] - 2.0) ** 2 + 2.0 * x[0] * x[1]
+                - 14.0 * x[4] + 6.0 * x[5],
+                -0.5 * (x[0] - 8.0) ** 2 - 2.0 * (x[1] - 4.0) ** 2
+                - 3.0 * x[4] ** 2 + x[5] + 30.0,
+                3.0 * x[0] - 6.0 * x[1] - 12.0 * (x[8] - 8.0) ** 2
+                + 7.0 * x[9],
+            ]
+        ),
+        cons_lb=np.zeros(8),
+        cons_ub=np.full(8, INF),
+        f_opt=24.30620907,
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}
