@@ -144,6 +144,20 @@ def main():
                 **common,
             ),
         ),
+        # matrix-free staged Schur (step/schur_staged.py): probe-extracted
+        # stage blocks, banded elimination, hybrid shallow-BCR + Pallas
+        # dense root — O(N) data per iteration, no dense J/H anywhere
+        "Schur+MF": (
+            inter,
+            Params(
+                step_solver_type=StepSolverType.Schur,
+                schur_block_size=3,
+                schur_dual_block_size=2,
+                matrix_free=True,
+                linear_solver_type=LinearSolverType.PallasLDLT,
+                **common,
+            ),
+        ),
     }
 
     if only_tiers is not None:
@@ -206,7 +220,7 @@ def main():
 
     from baseline_cache import ART, load_baseline, write_artifact
 
-    artifact = "r2_control.json" if N == 256 else f"r2_control_{N}.json"
+    artifact = "r3_control.json" if N == 256 else f"r3_control_{N}.json"
 
     # merge with a prior partial run (--tiers chunks the sweep so each
     # invocation stays inside the watchdog budget)

@@ -5,7 +5,7 @@ The reference's scipy-BDF IntegrationSolver is sequential per instance;
 its measured single-instance rate is the baseline
 (``benchmarks/artifacts/baseline_reference.json`` has the discrete-engine
 rate; the continuous engine is slower still, so this comparison is
-conservative when it reuses the wall-clock of ``r2_integration.json``).
+conservative when it reuses the wall-clock of ``r3_integration.json``).
 
 Usage: python benchmarks/bench_integration_batch.py [batch]
 """
@@ -63,7 +63,7 @@ def main():
     # reference continuous-engine wall-clock for the SAME problem
     ref_wall = None
     try:
-        with open(os.path.join(ART, "r2_integration.json")) as f:
+        with open(os.path.join(ART, "r3_integration.json")) as f:
             for row in json.load(f):
                 if row["problem"] == "hs71" and row["engine"] == "reference/BDF":
                     ref_wall = row["wall_s"]
@@ -84,7 +84,7 @@ def main():
         "baseline_note": "reference scipy-BDF IntegrationSolver, sequential CPU "
         f"({ref_wall}s/instance measured)" if ref_wall else None,
     }
-    write_artifact("r2_integration_batch.json", payload)
+    write_artifact("r3_integration_batch.json", payload)
     print(json.dumps(payload))
 
 

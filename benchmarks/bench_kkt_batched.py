@@ -1,0 +1,116 @@
+"""Batched KKT factor+solve throughput (round-3 directive #6).
+
+The single-instance KKT numbers (``bench_kkt.py``) are latency-bound on
+this rig (~1 ms/op launch floor); the real TPU lever is *batching*:
+``jax.vmap`` reaches the grid-free batched Pallas kernel through its
+``custom_vmap`` rule (one kernel call ``fori_loop``-ing over instances —
+this Mosaic toolchain cannot legalize gridded calls, CLAUDE.md), and the
+f64 refinement GEMVs batch natively in XLA.
+
+Sweeps batch x size, times ``vmap(factor)+vmap(solve)`` as ONE jitted
+dispatch (min over repeats), and reports effective f32 TFLOP/s for the
+factorization (n^3/3 FLOPs per instance) so the MXU-utilization story is
+explicit.  Per-instance correctness is asserted against the f64 direct
+solve at every cell.
+
+Usage (TPU): python benchmarks/bench_kkt_batched.py [--batches 8 32 128]
+             [--sizes 512 1024 2048] [--out artifacts/r3_kkt_batched.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def make_kkt(n, m, rng):
+    H = rng.standard_normal((n, n))
+    K = H @ H.T + n * np.eye(n)
+    J = rng.standard_normal((m, n))
+    return np.block([[K, J.T], [J, -0.1 * np.eye(m)]])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", type=int, nargs="+", default=[8, 32, 128])
+    parser.add_argument("--sizes", type=int, nargs="+", default=[512, 1024, 2048])
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument(
+        "--out",
+        type=str,
+        default=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts",
+            "r3_kkt_batched.json",
+        ),
+    )
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import pygradflow_tpu  # noqa: F401  (x64 + compile cache)
+    from pygradflow_tpu.linalg import linear_solver
+    from pygradflow_tpu.params import LinearSolverType
+
+    lin = linear_solver(LinearSolverType.PallasLDLT, symmetric=True)
+    platform = jax.devices()[0].platform
+
+    rng = np.random.default_rng(7)
+    records = []
+
+    for size in args.sizes:
+        n, m = 3 * size // 4, size // 4
+        # one well-conditioned saddle base + per-instance perturbations:
+        # every instance is a distinct matrix, same sparsity of work
+        base = make_kkt(n, m, rng)
+
+        for batch in args.batches:
+            pert = 0.01 * rng.standard_normal((batch, size, size))
+            pert = (pert + np.swapaxes(pert, -1, -2)) / 2.0
+            A = jnp.asarray(base[None] + pert)  # f64 (B, size, size)
+            b = jnp.asarray(rng.standard_normal((batch, size)))
+
+            @jax.jit
+            def fact_solve(A, b):
+                fact = jax.vmap(lin.factor)(A)
+                return jax.vmap(lin.solve)(fact, b)
+
+            x = jax.block_until_ready(fact_solve(A, b))
+            relres = jnp.linalg.norm(
+                jnp.einsum("bij,bj->bi", A, x) - b, axis=-1
+            ) / jnp.linalg.norm(b, axis=-1)
+            max_relres = float(relres.max())
+            assert max_relres < 1e-8, max_relres
+
+            best = np.inf
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fact_solve(A, b))
+                best = min(best, time.perf_counter() - t0)
+
+            factor_flops = batch * size**3 / 3.0
+            rec = {
+                "platform": platform,
+                "size": size,
+                "batch": batch,
+                "total_ms": best * 1e3,
+                "ms_per_instance": best * 1e3 / batch,
+                "instances_per_sec": batch / best,
+                "factor_tflops": factor_flops / best / 1e12,
+                "max_relres": max_relres,
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(records, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

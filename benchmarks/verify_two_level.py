@@ -91,6 +91,17 @@ def main():
             scale = np.abs(tril_ref).max()
             max_rel = float(np.abs(tril_two - tril_ref).max() / scale)
 
+        # independent O(n^3) reconstruction cross-check in host f64 —
+        # does not rely on the residual probe or any on-chip arithmetic,
+        # so a silent Mosaic miscompile cannot vouch for itself
+        P = np.asarray(f_two, dtype=np.float64)
+        L = np.tril(P, -1) + np.eye(n)
+        recon = (L * np.diag(P)[None, :]) @ L.T
+        recon_rel = float(
+            np.abs(recon - np.asarray(A32, dtype=np.float64)).max()
+            / np.abs(A).max()
+        )
+
         inertia_ok = int(ldlt_num_neg_eigvals(f_two)) == m
         probe = float(ldlt_factor_residual(f_two, A32))
         guarded = guard_factor(f_two, A32)
@@ -107,6 +118,7 @@ def main():
             "n": n,
             "m": m,
             "max_rel_vs_xla": max_rel,
+            "recon_rel_f64": recon_rel,
             "inertia_ok": inertia_ok,
             "guard_probe": probe,
             "guard_pass": guard_pass,

@@ -97,6 +97,14 @@ class Fns(NamedTuple):
     lag_hess: Callable
     num_vars: int
     num_cons: int
+    # matrix-free products (J^T w, J v, H v) — autodiff, never build (m, n)
+    cons_vjp: Callable = None
+    cons_jvp: Callable = None
+    lag_hvp: Callable = None
+    # Params.matrix_free: residual helpers route J^T products through
+    # cons_vjp instead of reading the materialized iterate Jacobian (the
+    # unused cons_jac evaluation is then dead-code-eliminated by XLA)
+    matrix_free: bool = False
 
 
 def make_fns(problem: Problem, params: Params) -> Fns:
@@ -151,7 +159,37 @@ def make_fns(problem: Problem, params: Params) -> Fns:
     def lag_hess(x, y):
         return jnp.asarray(problem.lag_hess(x, y), dtype=dtype)
 
-    return Fns(obj, obj_grad, cons, cons_jac, lag_hess, n, m)
+    if m > 0:
+
+        @maybe_jit
+        def cons_vjp(x, w):
+            return jnp.asarray(problem.cons_vjp(x, w), dtype=dtype)
+
+        @maybe_jit
+        def cons_jvp(x, v):
+            return jnp.asarray(problem.cons_jvp(x, v), dtype=dtype)
+
+    else:
+
+        @maybe_jit
+        def cons_vjp(x, w):
+            return jnp.zeros_like(x, dtype=dtype)
+
+        @maybe_jit
+        def cons_jvp(x, v):
+            return x[:0].astype(dtype)
+
+    @maybe_jit
+    def lag_hvp(x, y, v):
+        return jnp.asarray(problem.lag_hvp(x, y, v), dtype=dtype)
+
+    return Fns(
+        obj, obj_grad, cons, cons_jac, lag_hess, n, m,
+        cons_vjp=cons_vjp,
+        cons_jvp=cons_jvp,
+        lag_hvp=lag_hvp,
+        matrix_free=getattr(params, "matrix_free", False),
+    )
 
 
 def validate_fns(fns: Fns, x0, y0) -> None:

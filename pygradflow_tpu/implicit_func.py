@@ -87,12 +87,14 @@ def project_box(func: StepFunc, p, active_set):
     return jnp.where(active_set, jnp.clip(p, lb, ub), p)
 
 
-def projection_initial(func: StepFunc, it: Iterate, rho, tau: Optional[Any] = None):
+def projection_initial(
+    func: StepFunc, it: Iterate, rho, tau: Optional[Any] = None, fns=None
+):
     """Point whose projection defines the x-residual
     (reference ``implicit_func.py:134-147`` / ``:233-246``)."""
     x0 = func.orig.x
     lamb = func.lamb
-    d = aug_lag_deriv_x(it, rho)
+    d = aug_lag_deriv_x(it, rho, fns)
 
     if func.scaled:
         if tau is not None:
@@ -108,15 +110,17 @@ def projection_initial(func: StepFunc, it: Iterate, rho, tau: Optional[Any] = No
         return x0 - dt * d
 
 
-def compute_active_set(func: StepFunc, it: Iterate, rho, tau: Optional[Any] = None):
-    p = projection_initial(func, it, rho, tau)
+def compute_active_set(
+    func: StepFunc, it: Iterate, rho, tau: Optional[Any] = None, fns=None
+):
+    p = projection_initial(func, it, rho, tau, fns)
     return active_set_at_point(func, p)
 
 
-def value_at(func: StepFunc, it: Iterate, rho, active_set=None):
+def value_at(func: StepFunc, it: Iterate, rho, active_set=None, fns=None):
     """Residual value ``(rx, ry)`` (reference ``implicit_func.py:150-161`` /
     ``:219-231``)."""
-    p = projection_initial(func, it, rho)
+    p = projection_initial(func, it, rho, fns=fns)
     if active_set is None:
         active_set = active_set_at_point(func, p)
 
@@ -134,8 +138,8 @@ def value_at(func: StepFunc, it: Iterate, rho, active_set=None):
     return rx, ry
 
 
-def value_norm(func: StepFunc, it: Iterate, rho, active_set=None):
-    rx, ry = value_at(func, it, rho, active_set)
+def value_norm(func: StepFunc, it: Iterate, rho, active_set=None, fns=None):
+    rx, ry = value_at(func, it, rho, active_set, fns=fns)
     return jnp.sqrt(jnp.dot(rx, rx) + jnp.dot(ry, ry))
 
 

@@ -28,14 +28,28 @@ class Iterate(NamedTuple):
 
 
 def evaluate_iterate(fns: Fns, x, y) -> Iterate:
-    """Evaluate obj / grad / cons / jac once at ``(x, y)``."""
+    """Evaluate obj / grad / cons / jac once at ``(x, y)``.
+
+    In matrix-free mode (``params.matrix_free``) the dense Jacobian is
+    never evaluated: every consumer routes J/J^T products through
+    ``fns.cons_jvp``/``cons_vjp`` and the ``cons_jac`` slot holds a
+    (0, n) placeholder (derived from ``x`` so it carries the right
+    device-varying type under shard_map) — guaranteeing the O(m n)
+    ``jacfwd`` cannot survive in the loop carry even if XLA's while-loop
+    dead-code elimination misses it.  The (0, n) shape keeps degenerate
+    ``jac.T @ w`` algebra shape-correct while any unrouted m > 0 read
+    fails loudly at trace time."""
+    if fns.matrix_free:
+        jac = x[:0, None] * x[None, :]
+    else:
+        jac = fns.cons_jac(x)
     return Iterate(
         x=x,
         y=y,
         obj=fns.obj(x),
         obj_grad=fns.obj_grad(x),
         cons=fns.cons(x),
-        cons_jac=fns.cons_jac(x),
+        cons_jac=jac,
     )
 
 
@@ -64,9 +78,18 @@ def aug_lag(it: Iterate, rho):
     return it.obj + aug_lag_violation(it, rho) + aug_lag_dual(it)
 
 
-def aug_lag_deriv_x(it: Iterate, rho):
+def _jac_t(it: Iterate, w, fns=None):
+    """``J(x)^T w``: through autodiff cons_vjp in matrix-free mode (the
+    materialized ``it.cons_jac`` then stays unread and XLA dead-code
+    eliminates its evaluation), dense otherwise."""
+    if fns is not None and getattr(fns, "matrix_free", False):
+        return fns.cons_vjp(it.x, w)
+    return it.cons_jac.T @ w
+
+
+def aug_lag_deriv_x(it: Iterate, rho, fns=None):
     lhs = rho * it.cons + it.y
-    return it.obj_grad + it.cons_jac.T @ lhs
+    return it.obj_grad + _jac_t(it, lhs, fns)
 
 
 def aug_lag_deriv_y(it: Iterate):
@@ -130,10 +153,10 @@ def compute_active_set(x, lb, ub, active_tol) -> ActiveSet:
 # ----------------------------------------------------------------------
 
 
-def bounds_dual(it: Iterate, lb, ub, active_tol):
+def bounds_dual(it: Iterate, lb, ub, active_tol, fns=None):
     """Bound multipliers ``d`` from projected stationarity
     (reference ``iterate.py:140-151``)."""
-    r = -(it.obj_grad + it.cons_jac.T @ it.y)
+    r = -(it.obj_grad + _jac_t(it, it.y, fns))
     aset = compute_active_set(it.x, lb, ub, active_tol)
 
     d = jnp.zeros_like(it.x)
@@ -153,16 +176,16 @@ def cons_violation(it: Iterate):
     return inf_norm(it.cons)
 
 
-def stat_res(it: Iterate, lb, ub, active_tol):
-    d = bounds_dual(it, lb, ub, active_tol)
-    r = it.obj_grad + it.cons_jac.T @ it.y + d
+def stat_res(it: Iterate, lb, ub, active_tol, fns=None):
+    d = bounds_dual(it, lb, ub, active_tol, fns)
+    r = it.obj_grad + _jac_t(it, it.y, fns) + d
     return inf_norm(r)
 
 
-def total_res(it: Iterate, lb, ub, active_tol):
+def total_res(it: Iterate, lb, ub, active_tol, fns=None):
     return jnp.maximum(
         jnp.maximum(cons_violation(it), bound_violation(it, lb, ub)),
-        stat_res(it, lb, ub, active_tol),
+        stat_res(it, lb, ub, active_tol, fns),
     )
 
 
@@ -172,13 +195,15 @@ def is_feasible(it: Iterate, lb, ub, tol):
     )
 
 
-def locally_infeasible(it: Iterate, lb, ub, active_tol, feas_tol, local_infeas_tol):
+def locally_infeasible(
+    it: Iterate, lb, ub, active_tol, feas_tol, local_infeas_tol, fns=None
+):
     """Infeasible-stationarity test (reference ``iterate.py:115-134``):
     constraint violation above tolerance while the projected gradient of the
     violation measure vanishes."""
     infeasible = cons_violation(it) > feas_tol
 
-    r = it.cons_jac.T @ it.cons
+    r = _jac_t(it, it.cons, fns)
     aset = compute_active_set(it.x, lb, ub, active_tol)
     r = jnp.where(aset.at_lower, jnp.minimum(r, 0.0), r)
     r = jnp.where(aset.at_upper, jnp.maximum(r, 0.0), r)
@@ -199,9 +224,13 @@ def obj_nonlin(it: Iterate, other: Iterate):
     return jnp.where(jnp.isclose(dx_dot, 0.0), 0.0, val)
 
 
-def cons_nonlin(it: Iterate, other: Iterate):
+def cons_nonlin(it: Iterate, other: Iterate, fns=None):
     dx = other.x - it.x
-    pred = it.cons + it.cons_jac @ dx
+    if fns is not None and getattr(fns, "matrix_free", False):
+        jdx = fns.cons_jvp(it.x, dx)
+    else:
+        jdx = it.cons_jac @ dx
+    pred = it.cons + jdx
     dx_dot = jnp.dot(dx, dx)
     val = (other.cons - pred) / jnp.where(dx_dot == 0.0, 1.0, dx_dot)
     return jnp.where(jnp.isclose(dx_dot, 0.0), jnp.zeros_like(val), val)

@@ -28,6 +28,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .blocked_ldlt import ldlt_factor_blocked
 from .ldlt import ldlt_factor, ldlt_solve
 
 
@@ -128,18 +129,25 @@ class BCRLevel(NamedTuple):
 @jax.tree_util.register_pytree_node_class
 class BCRFactor:
     """Cyclic-reduction factorization.  The shape ints (m_blocks, q,
-    m_base) are static pytree metadata, NOT leaves — a factor that
-    round-trips through jit keeps them as Python ints."""
+    m_base) and the root solver kind are static pytree metadata, NOT
+    leaves — a factor that round-trips through jit keeps them as Python
+    values."""
 
-    def __init__(self, levels, root_fact, m_blocks: int, q: int, m_base: int):
+    def __init__(
+        self, levels, root_fact, m_blocks: int, q: int, m_base: int,
+        root_kind: str = "ldlt",
+    ):
         self.levels = levels  # tuple of BCRLevel, coarsest last
-        self.root_fact = root_fact  # packed LDL^T of dense base (m_base*q)
+        self.root_fact = root_fact  # factorization of the dense base
         self.m_blocks = m_blocks  # original (unpadded) number of blocks
         self.q = q
         self.m_base = m_base  # block-rows remaining when recursion stopped
+        self.root_kind = root_kind  # "ldlt" or "lin" (external tier)
 
     def tree_flatten(self):
-        return (self.levels, self.root_fact), (self.m_blocks, self.q, self.m_base)
+        return (self.levels, self.root_fact), (
+            self.m_blocks, self.q, self.m_base, self.root_kind,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -155,6 +163,14 @@ class BCRFactor:
 # are pure overhead next to a tiny unrolled dense factor (8*2=16 unrolls
 # completely in ldlt_factor)
 BCR_BASE = 8
+
+# the hybrid regime (bcr_factor(..., base=..., root_lin=...)): stop after
+# just a few levels and hand the remaining dense (base*q) system to the
+# Pallas f32 tier — each level costs a fixed ~10 small XLA ops of launch
+# latency while the MXU factors a 512-dense block in ~2 ms, so a shallow
+# reduction + one big dense root beats both the deep reduction (level
+# latency) and the full dense factor (O(m^3))
+BCR_HYBRID_BASE = 256
 
 
 def _btd_to_dense(d, u):
@@ -177,10 +193,16 @@ def _solve_mats(facts, B):
     return jax.vmap(_solve_mat)(facts, B)
 
 
-def bcr_factor(diag, upper) -> BCRFactor:
+def bcr_factor(diag, upper, base: int = BCR_BASE, root_lin=None) -> BCRFactor:
     """Cyclic-reduction factorization of a symmetric block-tridiagonal
     matrix.  Pads the block count to a power of two with decoupled -I
-    blocks (keeps negative definiteness, changes nothing else)."""
+    blocks (keeps negative definiteness, changes nothing else).
+
+    ``base`` stops the reduction once that few block-rows remain;
+    ``root_lin`` (a dense LinearSolver, e.g. the Pallas f32 tier) factors
+    the remaining dense (base*q) system — the hybrid shallow-BCR regime
+    for long horizons.  Falls back to the unrolled/blocked LDL^T root
+    when ``root_lin`` is None or the base size doesn't fit its tiling."""
     m_blocks, q = diag.shape[0], diag.shape[1]
     mp = 1 << (m_blocks - 1).bit_length()
     if mp != m_blocks:
@@ -196,7 +218,7 @@ def bcr_factor(diag, upper) -> BCRFactor:
     levels = []
     d, u = diag, up
     m_cur = mp
-    while m_cur > BCR_BASE:
+    while m_cur > base:
         h = m_cur // 2
         d_odd = d[1::2]  # (h, q, q)
         facts_odd = jax.vmap(ldlt_factor)(d_odd)
@@ -233,18 +255,33 @@ def bcr_factor(diag, upper) -> BCRFactor:
         d, u = d_new, u_new
         m_cur = h
 
-    root_fact = ldlt_factor(_btd_to_dense(d, u))
+    root_dense = _btd_to_dense(d, u)
+    nroot = m_cur * q
+    if root_lin is not None and nroot % 128 == 0:
+        root_fact = root_lin.factor(root_dense)
+        root_kind = "lin"
+    else:
+        root_fact = (
+            ldlt_factor(root_dense)
+            if nroot <= 192
+            else ldlt_factor_blocked(root_dense)
+        )
+        root_kind = "ldlt"
     return BCRFactor(
         levels=tuple(levels),
         root_fact=root_fact,
         m_blocks=m_blocks,
         q=q,
         m_base=m_cur,
+        root_kind=root_kind,
     )
 
 
-def bcr_solve(fact: BCRFactor, rhs):
-    """Solve T x = rhs for rhs of shape (M, q) or flattened (M*q,)."""
+def bcr_solve(fact: BCRFactor, rhs, root_solve=None):
+    """Solve T x = rhs for rhs of shape (M, q) or flattened (M*q,).
+
+    ``root_solve(root_fact, rhs) -> sol`` must be supplied when the
+    factorization was built with an external ``root_lin`` tier."""
     m_blocks, q = fact.m_blocks, fact.q
     flat = rhs.ndim == 1
     r = rhs.reshape(m_blocks, q)
@@ -267,7 +304,11 @@ def bcr_solve(fact: BCRFactor, rhs):
         )
 
     # dense base solve on the remaining m_base block-rows
-    x = ldlt_solve(fact.root_fact, r.reshape(-1)).reshape(fact.m_base, q)
+    if fact.root_kind == "lin":
+        assert root_solve is not None, "external root tier needs root_solve"
+        x = root_solve(fact.root_fact, r.reshape(-1)).reshape(fact.m_base, q)
+    else:
+        x = ldlt_solve(fact.root_fact, r.reshape(-1)).reshape(fact.m_base, q)
 
     # up-sweep: recover odd blocks, interleave with evens
     for lev, b_odd in zip(reversed(fact.levels), reversed(odd_rhs)):

@@ -52,6 +52,19 @@ def _eval_hess(cfg: NewtonCfg, it: Iterate, rho, counters):
     return H, counters.add(lag_hess=1)
 
 
+def _factorize(cfg: NewtonCfg, func, it: Iterate, active, rho, counters):
+    """Assemble + factor the step matrix.  A matrix-free StepSolverDef
+    receives the ITERATE and derives the blocks it needs through
+    jvp/vjp/hvp probes (one Hessian-equivalent evaluation, charged as
+    such) instead of the dense H and J."""
+    if cfg.ssdef.matrix_free:
+        fact = cfg.ssdef.factor(func, it, active, rho)
+        return fact, counters.add(lag_hess=1, cons_jac=1)
+    H, counters = _eval_hess(cfg, it, rho, counters)
+    fact = cfg.ssdef.factor(func, H, it.cons_jac, active, rho)
+    return fact, counters.add(cons_jac=0)
+
+
 def _make_func(cfg: NewtonCfg, orig: Iterate, lamb) -> impl.StepFunc:
     return impl.make_step_func(orig, lamb, cfg.lb, cfg.ub, scaled=cfg.ssdef.scaled)
 
@@ -69,10 +82,8 @@ def _result(cfg: NewtonCfg, it: Iterate, dx, dy, active, rcond=None) -> StepResu
 def _simplified(cfg: NewtonCfg):
     def init(orig: Iterate, lamb, rho, tau, counters: Counters):
         func = _make_func(cfg, orig, lamb)
-        active = impl.compute_active_set(func, orig, rho, tau)
-        H, counters = _eval_hess(cfg, orig, rho, counters)
-        J = orig.cons_jac
-        fact = cfg.ssdef.factor(func, H, J, active, rho)
+        active = impl.compute_active_set(func, orig, rho, tau, fns=cfg.fns)
+        fact, counters = _factorize(cfg, func, orig, active, rho, counters)
         return (func, fact, rho), counters
 
     def step(carry, cur: Iterate, counters: Counters):
@@ -96,9 +107,8 @@ def _full(cfg: NewtonCfg):
 
     def step(carry, cur: Iterate, counters: Counters):
         func, rho, tau = carry
-        active = impl.compute_active_set(func, cur, rho, tau)
-        H, counters = _eval_hess(cfg, cur, rho, counters)
-        fact = cfg.ssdef.factor(func, H, cur.cons_jac, active, rho)
+        active = impl.compute_active_set(func, cur, rho, tau, fns=cfg.fns)
+        fact, counters = _factorize(cfg, func, cur, active, rho, counters)
         dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
         return _result(cfg, cur, dx, dy, active, fact.rcond), carry, counters
 
@@ -114,13 +124,20 @@ def _full(cfg: NewtonCfg):
 def _active_set(cfg: NewtonCfg):
     def init(orig: Iterate, lamb, rho, tau, counters: Counters):
         func = _make_func(cfg, orig, lamb)
-        H, counters = _eval_hess(cfg, orig, rho, counters)
-        return (func, H, orig.cons_jac, rho, tau), counters
+        if not cfg.ssdef.matrix_free:
+            H, counters = _eval_hess(cfg, orig, rho, counters)
+        else:
+            H = None  # matrix-free: probes run at the frozen origin
+        return (func, H, orig, rho, tau), counters
 
     def step(carry, cur: Iterate, counters: Counters):
-        func, H, J, rho, tau = carry
-        active = impl.compute_active_set(func, cur, rho, tau)
-        fact = cfg.ssdef.factor(func, H, J, active, rho)
+        func, H, orig, rho, tau = carry
+        active = impl.compute_active_set(func, cur, rho, tau, fns=cfg.fns)
+        if cfg.ssdef.matrix_free:
+            fact = cfg.ssdef.factor(func, orig, active, rho)
+            counters = counters.add(lag_hess=1, cons_jac=1)
+        else:
+            fact = cfg.ssdef.factor(func, H, orig.cons_jac, active, rho)
         dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
         return _result(cfg, cur, dx, dy, active, fact.rcond), carry, counters
 
@@ -218,6 +235,11 @@ def _globalized(cfg: NewtonCfg):
 def make_newton(cfg: NewtonCfg):
     """Factory keyed on NewtonType (reference ``newton.py:307-323``)."""
     nt = cfg.params.newton_type
+    if cfg.ssdef.matrix_free and nt == NewtonType.Globalized:
+        raise ValueError(
+            "GlobalizedNewton needs the dense residual Jacobian for its "
+            "line-search slope; unavailable with a matrix-free step solver"
+        )
     if nt == NewtonType.Simplified:
         return _simplified(cfg)
     elif nt == NewtonType.Full:

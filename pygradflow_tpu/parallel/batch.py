@@ -206,15 +206,15 @@ class BatchedSolver:
         def finalize(state, d):
             self._bind(d)
             it = state.it
-            dual = bounds_dual(it, loop.lb, loop.ub, params.active_tol)
+            dual = bounds_dual(it, loop.lb, loop.ub, params.active_tol, loop.fns)
             (x, y, dd) = self.transform.restore_sol(it.x, it.y, dual)
             return (
                 x,
                 y,
                 dd,
-                total_res(it, loop.lb, loop.ub, params.active_tol),
+                total_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
                 cons_violation(it),
-                stat_res(it, loop.lb, loop.ub, params.active_tol),
+                stat_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
             )
 
         if self.parametric:

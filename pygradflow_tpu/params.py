@@ -243,6 +243,20 @@ class Params:
     """Hessian block size for StepSolverType.Schur: the (transformed)
     Hessian must be block diagonal with contiguous blocks of this size."""
 
+    matrix_free: bool = False
+    """Never materialize the dense ``(m, n)`` Jacobian or ``(n, n)``
+    Hessian in the solve loop: KKT-residual J^T-products go through
+    autodiff ``cons_vjp`` and, with ``StepSolverType.Schur`` +
+    ``schur_dual_block_size``, the factorization is assembled from
+    stage-local Jacobian/Hessian BLOCKS extracted by comb-basis
+    jvp/hvp probes (``step/schur_staged.py``).  Requires derivatives
+    consistent with autodiff of ``obj``/``cons`` (the default) and, for
+    the staged factorization, the Schur tier's block structure: Hessian
+    block-diagonal (``schur_block_size``), constraint block ``r``
+    touching only stages ``r-1`` and ``r``.  The long-horizon
+    optimal-control lever: per-iteration cost drops from O(n^2)-dense to
+    O(stages) (`benchmarks/bench_control.py`)."""
+
     profile_dir: Optional[str] = None
     """When set, the solve runs under ``jax.profiler.trace`` writing a
     TensorBoard-compatible trace to this directory (the reference has no

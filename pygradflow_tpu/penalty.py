@@ -17,7 +17,7 @@ from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 
-from .iterate import Iterate, aug_lag_deriv_x, cons_violation
+from .iterate import Iterate, _jac_t, aug_lag_deriv_x, cons_violation
 from .params import Params, PenaltyUpdate
 from .util import inf_norm
 
@@ -85,7 +85,7 @@ def _dual_equilibration(params: Params, m: int):
     return initial, update
 
 
-def _pareto_decrease(params: Params, m: int):
+def _pareto_decrease(params: Params, m: int, fns=None):
     """Bound rho so the flow direction weakly decreases objective or
     violation (reference ``penalty.py:115-183``)."""
 
@@ -99,7 +99,7 @@ def _pareto_decrease(params: Params, m: int):
         cons = nxt.cons
         viol = 0.5 * jnp.dot(cons, cons)
 
-        infeas_res = nxt.cons_jac.T @ cons
+        infeas_res = _jac_t(nxt, cons, fns)
         infeas_norm_inf = inf_norm(infeas_res)
 
         # skip when feasible or locally infeasible
@@ -109,7 +109,7 @@ def _pareto_decrease(params: Params, m: int):
 
         obj_grad = nxt.obj_grad
         obj_prod = jnp.dot(obj_grad, infeas_res)
-        cons_dual_prod = nxt.cons_jac.T @ nxt.y
+        cons_dual_prod = _jac_t(nxt, nxt.y, fns)
 
         obj_grad_norm = jnp.linalg.norm(obj_grad)
         lhs_obj = -(obj_grad_norm + jnp.dot(cons_dual_prod, obj_grad))
@@ -217,12 +217,12 @@ def _objective_filter(params: Params, m: int):
     return _filter_strategy(params, entry)
 
 
-def _lagrangian_filter(params: Params, m: int):
+def _lagrangian_filter(params: Params, m: int, fns=None):
     """Pareto filter on (||grad L||^2, ||c||)
     (reference ``penalty.py:241-255``)."""
 
     def entry(it: Iterate, rho):
-        lag_x = aug_lag_deriv_x(it, rho)
+        lag_x = aug_lag_deriv_x(it, rho, fns)
         lag_y = it.cons
         norm_sq = jnp.dot(lag_x, lag_x) + jnp.dot(lag_y, lag_y)
         return norm_sq, jnp.linalg.norm(it.cons)
@@ -230,8 +230,11 @@ def _lagrangian_filter(params: Params, m: int):
     return _filter_strategy(params, entry)
 
 
-def penalty_strategy(params: Params, num_cons: int):
-    """Factory keyed on PenaltyUpdate (reference ``penalty.py:258-274``)."""
+def penalty_strategy(params: Params, num_cons: int, fns=None):
+    """Factory keyed on PenaltyUpdate (reference ``penalty.py:258-274``).
+
+    ``fns`` routes J^T products through autodiff ``cons_vjp`` in
+    matrix-free mode (strategies reading ``it.cons_jac`` otherwise)."""
     pu = params.penalty_update
     if pu == PenaltyUpdate.Constant:
         return _constant(params, num_cons)
@@ -240,9 +243,9 @@ def penalty_strategy(params: Params, num_cons: int):
     elif pu == PenaltyUpdate.DualEquilibration:
         return _dual_equilibration(params, num_cons)
     elif pu == PenaltyUpdate.ParetoDecrease:
-        return _pareto_decrease(params, num_cons)
+        return _pareto_decrease(params, num_cons, fns)
     elif pu == PenaltyUpdate.ObjectiveFilter:
         return _objective_filter(params, num_cons)
     elif pu == PenaltyUpdate.LagrangianFilter:
-        return _lagrangian_filter(params, num_cons)
+        return _lagrangian_filter(params, num_cons, fns)
     raise ValueError("Invalid penalty update strategy")

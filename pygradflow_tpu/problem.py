@@ -149,6 +149,19 @@ class Problem(abc.ABC):
 
         return jax.jvp(lag_grad, (x,), (v,))[1]
 
+    def cons_vjp(self, x, w):
+        """Jacobian-transpose product ``J(x)^T w`` without materializing
+        the ``(m, n)`` Jacobian; defaults to reverse-mode autodiff of
+        :meth:`cons`.  Override together with :meth:`cons_jac` if the
+        explicit Jacobian deliberately differs from autodiff."""
+        _, jtv = jax.vjp(self.cons, x)
+        return jtv(w)[0]
+
+    def cons_jvp(self, x, v):
+        """Jacobian product ``J(x) v`` without materializing the Jacobian;
+        defaults to forward-mode autodiff of :meth:`cons`."""
+        return jax.jvp(self.cons, (x,), (v,))[1]
+
 
 class FuncProblem(Problem):
     """Problem built from plain functions instead of a subclass.

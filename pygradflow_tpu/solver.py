@@ -93,7 +93,9 @@ class SolveLoop:
 
         self.cfg = make_control_cfg(self.fns, params, self.lb, self.ub)
         self.controller = make_controller(self.cfg)
-        self.penalty_initial, self.penalty_update = penalty_strategy(params, self.m)
+        self.penalty_initial, self.penalty_update = penalty_strategy(
+            params, self.m, self.fns
+        )
 
         if params.iteration_limit is not None:
             self.iteration_limit = int(params.iteration_limit)
@@ -175,11 +177,12 @@ class SolveLoop:
         status = jnp.where(unbounded, int(SolverStatus.Unbounded), status)
 
         infeas = locally_infeasible(
-            it, lb, ub, params.active_tol, params.opt_tol, params.local_infeas_tol
+            it, lb, ub, params.active_tol, params.opt_tol,
+            params.local_infeas_tol, self.fns,
         )
         status = jnp.where(infeas, int(SolverStatus.LocallyInfeasible), status)
 
-        res = total_res(it, lb, ub, params.active_tol)
+        res = total_res(it, lb, ub, params.active_tol, self.fns)
         status = jnp.where(res <= params.opt_tol, int(SolverStatus.Optimal), status)
 
         status = jnp.where(
@@ -300,7 +303,7 @@ class SolveLoop:
             aug_lag=aug_lag(it, state.rho),
             obj=it.obj,
             cons_viol=cons_violation(it),
-            stat_res=stat_res(it, self.lb, self.ub, params.active_tol),
+            stat_res=stat_res(it, self.lb, self.ub, params.active_tol, self.fns),
             active=jnp.sum(ctrl.active_set.astype(jnp.int32)),
             obj_nonlin=obj_nonlin(it, ctrl.iterate),
             dx=primal_step,
@@ -363,7 +366,7 @@ class SolveLoop:
         solution restoration and all result scalars are fused here."""
         params = self.params
         it = state.it
-        d = bounds_dual(it, self.lb, self.ub, params.active_tol)
+        d = bounds_dual(it, self.lb, self.ub, params.active_tol, self.fns)
         direct_dist = jnp.sqrt(
             jnp.sum((it.x - x0) ** 2) + jnp.sum((it.y - y0) ** 2)
         )
@@ -378,7 +381,7 @@ class SolveLoop:
                 jnp.asarray(v, dtype)
                 for v in (
                     direct_dist,
-                    stat_res(it, self.lb, self.ub, params.active_tol),
+                    stat_res(it, self.lb, self.ub, params.active_tol, self.fns),
                     cons_violation(it),
                     it.obj,
                     state.rho,
@@ -485,7 +488,7 @@ class Solver:
         state = loop.run_iteration(state)
 
         it = state.it
-        d = bounds_dual(it, loop.lb, loop.ub, params.active_tol)
+        d = bounds_dual(it, loop.lb, loop.ub, params.active_tol, loop.fns)
         return self.transform.restore_sol(it.x, it.y, d)
 
     def solve(

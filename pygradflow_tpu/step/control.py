@@ -66,7 +66,7 @@ class ControlCfg(NamedTuple):
 
 
 def make_control_cfg(fns, params: Params, lb, ub) -> ControlCfg:
-    ssdef = step_solver_def(params)
+    ssdef = step_solver_def(params, fns)
     ncfg = NewtonCfg(fns=fns, params=params, lb=lb, ub=ub, ssdef=ssdef)
     newton_init, newton_step = make_newton(ncfg)
     return ControlCfg(
@@ -88,7 +88,7 @@ def make_control_cfg(fns, params: Params, lb, ub) -> ControlCfg:
 
 def _tau_vals(cfg: ControlCfg, it: Iterate, rho):
     x = it.x
-    g = aug_lag_deriv_x(it, rho)
+    g = aug_lag_deriv_x(it, rho, cfg.fns)
     xl, xu = cfg.lb, cfg.ub
 
     zero_g = jnp.isclose(g, 0.0)
@@ -212,7 +212,7 @@ def _distance_ratio(cfg: ControlCfg):
 
         step1, carry, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
-        mid_norm = impl.value_norm(func, mid_it, rho)
+        mid_norm = impl.value_norm(func, mid_it, rho, fns=cfg.fns)
         if emit is not None:
             emit(0, mid_norm, step1.diff, step1.active_set)
 
@@ -244,7 +244,7 @@ def _distance_ratio(cfg: ControlCfg):
             if emit is not None:
                 emit(
                     1,
-                    impl.value_norm(func, fin_it, rho),
+                    impl.value_norm(func, fin_it, rho, fns=cfg.fns),
                     step2.diff,
                     step2.active_set,
                 )
@@ -297,13 +297,13 @@ def _residuum_ratio(cfg: ControlCfg):
 
         step1, _, counters = cfg.newton_step(carry, orig, counters)
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
-        mid_norm = impl.value_norm(func, mid_it, rho)
+        mid_norm = impl.value_norm(func, mid_it, rho, fns=cfg.fns)
         if emit is not None:
             emit(0, mid_norm, step1.diff, step1.active_set)
 
         conv1 = mid_norm <= params.newton_tol
 
-        orig_norm = impl.value_norm(func, orig, rho)
+        orig_norm = impl.value_norm(func, orig, rho, fns=cfg.fns)
         theta = mid_norm / jnp.where(orig_norm == 0.0, 1.0, orig_norm)
 
         accepted = theta <= params.theta_max
@@ -351,7 +351,7 @@ def _exact(cfg: ControlCfg):
         carry, counters = cfg.newton_init(orig, lamb, rho, tau, counters)
         func = _unscaled_func(cfg, orig, lamb)
 
-        curr_val = impl.value_norm(func, orig, rho)
+        curr_val = impl.value_norm(func, orig, rho, fns=cfg.fns)
 
         def cond(c):
             return jnp.logical_and(c["i"] < max_num_it, c["state"] == 0)
@@ -360,7 +360,7 @@ def _exact(cfg: ControlCfg):
             counters = c["counters"]
             step_i, carry2, counters = cfg.newton_step(c["carry"], c["it"], counters)
             next_it, counters = _evaluate(cfg, step_i.xn, step_i.yn, counters)
-            next_val = impl.value_norm(func, next_it, rho)
+            next_val = impl.value_norm(func, next_it, rho, fns=cfg.fns)
             if emit is not None:
                 emit(c["i"], next_val, step_i.diff, step_i.active_set)
 
@@ -437,7 +437,7 @@ def _fixed(cfg: ControlCfg):
         mid_it, counters = _evaluate(cfg, step1.xn, step1.yn, counters)
         if emit is not None:
             func = _unscaled_func(cfg, orig, lamb)
-            emit(0, impl.value_norm(func, mid_it, rho), step1.diff, step1.active_set)
+            emit(0, impl.value_norm(func, mid_it, rho, fns=cfg.fns), step1.diff, step1.active_set)
         lamb_n = jnp.zeros_like(lamb) + params.lamb_init
         accepted = lamb_n == lamb_n  # varying True (see distance-ratio note)
         return ControlResult(

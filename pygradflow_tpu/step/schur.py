@@ -146,7 +146,7 @@ def schur_def(
             # dense (m, m) product Jm @ ainv_jt would waste O(m^2 n) MXU
             # work on known zeros.  Build the (M, q, q) diagonal and
             # (M-1, q, q) super-diagonal bands directly: O(M q^2 n).
-            from ..linalg.block_tridiag import bcr_factor
+            from ..linalg.block_tridiag import BCR_HYBRID_BASE, bcr_factor
 
             q = int(dual_block)
             mb = m // q
@@ -157,7 +157,15 @@ def schur_def(
                 lamb * fact_s, work_dtype
             ) * jnp.eye(q, dtype=work_dtype)
             upper = -jnp.einsum("rqn,nrp->rqp", jb[:-1], ab[:, 1:])
-            s_fact = bcr_factor(diag, upper)
+            # hybrid shallow reduction + Pallas dense root when the f32
+            # tier is configured: each BCR level is ~10 launch-latency
+            # small ops while the MXU eats a 512-dense root in ~2 ms
+            s_fact = bcr_factor(
+                diag,
+                upper,
+                base=BCR_HYBRID_BASE if has_pallas else 8,
+                root_lin=lin if has_pallas else None,
+            )
         elif use_lin:
             # lamb is a traced f64 scalar; build the diagonal block in f64
             # (O(m^2) trivia) and cast so the big GEMM stays in f32
@@ -206,7 +214,14 @@ def schur_def(
             if use_btd:
                 from ..linalg.block_tridiag import bcr_solve
 
-                sy_ = bcr_solve(sf.s_fact, s_rhs)
+                # raw f32 root back-solve under the Pallas tier: the
+                # outer saddle refinement recovers f64
+                root_solve = (
+                    (lambda fct, b_: lin.solve(fct, b_, iters=0))
+                    if has_pallas
+                    else None
+                )
+                sy_ = bcr_solve(sf.s_fact, s_rhs, root_solve=root_solve)
             elif use_lin:
                 if mixed:
                     # raw f32 back-solve: the outer saddle refinement

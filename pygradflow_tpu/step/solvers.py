@@ -92,6 +92,9 @@ class StepSolverDef(NamedTuple):
     hess_rho_is_runtime: bool  # Standard evaluates H at the runtime rho
     factor: Any  # (func, H, J, active, rho) -> Factorization
     solve: Any  # (factorization, func, cur_it, rho) -> (dx, dy)
+    # matrix-free defs take (func, iterate, active, rho) in factor and
+    # derive blocks via jvp/vjp/hvp probes (step/schur_staged.py)
+    matrix_free: bool = False
 
 
 def _lower_block(m, lamb, rho, dtype):
@@ -113,13 +116,19 @@ def _maybe_rcond(lin: LinearSolver, report: bool, mat, fact):
     )
 
 
-def step_solver_def(params: Params) -> StepSolverDef:
+def step_solver_def(params: Params, fns=None) -> StepSolverDef:
     # custom step-solver injection (reference params.step_solver,
     # tests/.../test_solver.py:43-76): a callable params -> StepSolverDef
     if params.step_solver is not None:
         return params.step_solver(params)
 
     solver_type = params.step_solver_type
+
+    if params.matrix_free and solver_type != StepSolverType.Schur:
+        raise ValueError(
+            "matrix_free requires StepSolverType.Schur (the other "
+            "formulations assemble the dense KKT system)"
+        )
 
     if solver_type == StepSolverType.Schur:
         from .schur import schur_def
@@ -134,6 +143,20 @@ def step_solver_def(params: Params) -> StepSolverDef:
             if params.linear_solver_type == LinearSolverType.PallasLDLT
             else None
         )
+        if params.matrix_free:
+            from .schur_staged import schur_staged_def
+
+            assert params.schur_dual_block_size is not None, (
+                "matrix_free Schur requires params.schur_dual_block_size "
+                "(stage-local constraints)"
+            )
+            assert fns is not None
+            return schur_staged_def(
+                schur_lin,
+                fns,
+                params.schur_block_size,
+                dual_block=params.schur_dual_block_size,
+            )
         return schur_def(
             schur_lin,
             params.report_rcond,

@@ -30,6 +30,7 @@ def _run_bench(tmp_path, inject_failures, retries, extra_env=None):
         BENCH_BATCH="8",
         BENCH_CHUNK="8",
         BENCH_BASELINE_SAMPLE="1",
+        BENCH_NO_ARTIFACT="1",  # don't clobber the measured TPU artifact
     )
     env.pop("BENCH_INNER", None)
     env.update(extra_env or {})

@@ -167,6 +167,27 @@ def test_factor_guard_poisons_garbage():
     assert not bool(jnp.all(jnp.isfinite(still_bad)))
 
 
+def test_two_level_host_reconstruction():
+    """Independent host-f64 reconstruction of the two-level factor:
+    L D L^T must reproduce the input to f32 accuracy.  The on-TPU
+    counterpart (every shipped size incl. 8192) lives in
+    benchmarks/verify_two_level.py as the ``recon_rel_f64`` field —
+    correctness evidence that does not route through any on-chip
+    arithmetic a Mosaic miscompile could corrupt alongside the factor."""
+    from pygradflow_tpu.linalg.two_level_ldlt import ldlt_factor_two_level
+
+    n, m = 512, 128
+    A = _saddle(n, m)  # (n + m, n + m) saddle system
+    packed = np.asarray(
+        ldlt_factor_two_level(jnp.asarray(A, dtype=jnp.float32), interpret=True),
+        dtype=np.float64,
+    )
+    L = np.tril(packed, -1) + np.eye(n + m)
+    recon = (L * np.diag(packed)[None, :]) @ L.T
+    rel = np.abs(recon - A).max() / np.abs(A).max()
+    assert rel < 5e-5, rel
+
+
 def test_two_level_adaptive_super_block():
     """``super_block=None`` sizes the blocks to minimize identity padding
     (n just above the kernel ceiling splits in two instead of padding to

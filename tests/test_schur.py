@@ -240,3 +240,52 @@ def test_bcr_solve_matches_dense():
         np.testing.assert_allclose(
             np.asarray(x), np.linalg.solve(S, rhs), rtol=1e-9, atol=1e-11
         )
+
+
+def test_bcr_hybrid_base_matches_thomas():
+    """Shallow reduction + dense root (incl. the external Pallas-tier
+    root) must agree with the sequential block-Thomas factorization."""
+    import numpy as np
+
+    from pygradflow_tpu.linalg import LinearSolverType, linear_solver
+    from pygradflow_tpu.linalg.block_tridiag import (
+        bcr_factor,
+        bcr_solve,
+        btd_factor,
+        btd_solve,
+    )
+
+    rng = np.random.default_rng(5)
+    mb, q = 67, 2  # odd count: exercises the power-of-two padding
+    diag = rng.standard_normal((mb, q, q))
+    diag = -(diag @ diag.transpose(0, 2, 1)) - 2.0 * np.eye(q)  # neg def
+    upper = 0.1 * rng.standard_normal((mb - 1, q, q))
+    rhs = rng.standard_normal(mb * q)
+
+    ref = btd_solve(btd_factor(jnp.asarray(diag), jnp.asarray(upper)), jnp.asarray(rhs))
+
+    for base, root_lin in [(8, None), (32, None), (64, None)]:
+        fact = bcr_factor(
+            jnp.asarray(diag), jnp.asarray(upper), base=base, root_lin=root_lin
+        )
+        sol = bcr_solve(fact, jnp.asarray(rhs))
+        np.testing.assert_allclose(np.asarray(sol), np.asarray(ref), rtol=1e-10)
+
+    # external root tier (Pallas f32 + f64 refinement; interpret on CPU):
+    # root size 32*q=64 is not 128-aligned, so pad the problem to 64 blocks
+    mb2 = 128
+    diag2 = rng.standard_normal((mb2, q, q))
+    diag2 = -(diag2 @ diag2.transpose(0, 2, 1)) - 2.0 * np.eye(q)
+    upper2 = 0.1 * rng.standard_normal((mb2 - 1, q, q))
+    rhs2 = rng.standard_normal(mb2 * q)
+    ref2 = btd_solve(
+        btd_factor(jnp.asarray(diag2), jnp.asarray(upper2)), jnp.asarray(rhs2)
+    )
+    lin = linear_solver(LinearSolverType.PallasLDLT, symmetric=True)
+    fact2 = bcr_factor(
+        jnp.asarray(diag2), jnp.asarray(upper2), base=64, root_lin=lin
+    )
+    sol2 = bcr_solve(
+        fact2, jnp.asarray(rhs2), root_solve=lambda f, b: lin.solve(f, b)
+    )
+    np.testing.assert_allclose(np.asarray(sol2), np.asarray(ref2), rtol=1e-6)
