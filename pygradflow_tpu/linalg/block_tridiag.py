@@ -23,6 +23,7 @@ systems (``linear_solver/lu_solver.py``, ``ma57_solver.py``) — built
 TPU-native instead of bound from Fortran.
 """
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -169,8 +170,10 @@ BCR_BASE = 8
 # Pallas f32 tier — each level costs a fixed ~10 small XLA ops of launch
 # latency while the MXU factors a 512-dense block in ~2 ms, so a shallow
 # reduction + one big dense root beats both the deep reduction (level
-# latency) and the full dense factor (O(m^3))
-BCR_HYBRID_BASE = 256
+# latency) and the full dense factor (O(m^3)).  Env-tunable so the
+# control benchmark can sweep the level-count/root-size tradeoff per
+# subprocess (benchmarks/bench_control.py)
+BCR_HYBRID_BASE = int(os.environ.get("PGF_BCR_HYBRID_BASE", 256))
 
 
 def _btd_to_dense(d, u):
