@@ -309,6 +309,18 @@ class Runner(ABC):
 
     def _rows_sequential(self, instances, args, argv):
         params = self.create_params(args)
+        limit = getattr(params, "time_limit", None)
+        if limit is not None and math.isfinite(limit):
+            # the SIGALRM watchdog only fires between Python bytecodes: a
+            # wedged device dispatch (hung TPU tunnel) blocks in C and is
+            # never interrupted.  --parallel N is the real watchdog (hard
+            # subprocess kill); surface that instead of timing out silently
+            logger.warning(
+                "sequential mode cannot interrupt a wedged device dispatch "
+                "(SIGALRM fires between Python bytecodes only); with "
+                "time_limit=%gs prefer --parallel 1 for a hard kill",
+                limit,
+            )
         for instance in instances:
             outcome = self._solve_in_process(instance, params, args)
             yield instance, outcome.row(instance)
