@@ -25,6 +25,13 @@ def main():
     params = Params(
         step_solver_type=StepSolverType.Schur,
         schur_block_size=3,  # (theta, omega, u) per stage
+        # stage-local constraints (dual block r touches stages r-1, r):
+        # with matrix_free=True the dense Jacobian/Hessian are never
+        # materialized — stage blocks are probed out by batched jvp/hvp
+        # and the per-iteration cost is O(N), the long-horizon regime's
+        # winning tier (step/schur_staged.py)
+        schur_dual_block_size=2,
+        matrix_free=True,
         linear_solver_type=LinearSolverType.PallasLDLT,
         validate_input=False,
     )
