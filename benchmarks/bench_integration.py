@@ -135,7 +135,13 @@ def main():
             f"fev={ref['func_evals']:<6d} jev={ref['jac_evals']:<4d} "
             f"wall={ref['wall_s']*1e3:8.1f} ms"
         )
-        for method in ["TRBDF2", "TRBDF2+device", "ImplicitEuler"]:
+        for method in [
+            "SDIRK4",
+            "SDIRK4+device",
+            "TRBDF2",
+            "TRBDF2+device",
+            "ImplicitEuler",
+        ]:
             ours = run_ours(prob, method)
             print(
                 f"{prob:<6s} ours/{method:<11s}{ours['status']:<8s} "

@@ -22,6 +22,51 @@ import numpy as np
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 
+def _reference_same_instances(x0s, y0s):
+    """Sequential reference IntegrationSolver over the given starts
+    (CPU); returns wall/status accounting.  Mirrors
+    bench_integration.run_reference but without step counting."""
+    import logging
+    import time
+
+    logging.getLogger("gradflow").setLevel(logging.ERROR)
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/tests/pygradflow")
+
+    from hs71 import HS71 as RefHS71
+
+    from pygradflow.integration.integration_solver import (
+        IntegrationSolver as RefIntegrationSolver,
+    )
+    from pygradflow.params import Params as RefParams
+
+    statuses = []
+    t0 = time.perf_counter()
+    for x0, y0 in zip(x0s, y0s):
+        solver = RefIntegrationSolver(
+            RefHS71(), RefParams(iteration_limit=1000, rho=1e-2)
+        )
+        try:
+            result = solver.solve(np.asarray(x0), np.asarray(y0))
+            statuses.append(result.status.name)
+        except Exception:
+            # the reference's own event handler asserts the located event
+            # point is at the bound (integration_solver.py:171) and
+            # crashes on some perturbed starts; count it as an error
+            # instance (our lockstep engine solves the same start)
+            statuses.append("error")
+    wall = time.perf_counter() - t0
+    n = len(statuses)
+    return {
+        "sample": n,
+        "wall_s": round(wall, 3),
+        "solves_per_sec": round(n / wall, 4),
+        "optimal": statuses.count("Optimal"),
+        "errors": statuses.count("error"),
+        "statuses": sorted(set(statuses)),
+    }
+
+
 def main():
     from baseline_cache import ART, write_artifact
 
@@ -48,9 +93,18 @@ def main():
     )
     y0s = np.tile(inst.y_0, (BATCH, 1))
 
+    from pygradflow_tpu.params import IntegrationMethod
+
     solver = BatchedIntegrationSolver(
         inst.problem,
-        Params(iteration_limit=1000, rho=1e-2, integration_max_steps=50_000),
+        Params(
+            iteration_limit=1000,
+            rho=1e-2,
+            integration_max_steps=50_000,
+            # SDIRK4 (order 4): ~2.2x fewer steps than TR-BDF2 at these
+            # tolerances, and the slowest lane sets the lockstep wall
+            integration_method=IntegrationMethod.SDIRK4,
+        ),
     )
     res = solver.solve(x0s, y0s)  # warm-up/compile
     t0 = time.perf_counter()
@@ -70,6 +124,21 @@ def main():
     except Exception:
         pass
 
+    # the honest baseline: the reference solving the SAME perturbed
+    # instances sequentially (the nominal-start wall above is its best
+    # case; perturbed starts include the grinding lanes that bound OUR
+    # lockstep wall too).  Subsample via BENCH_REF_SAMPLE to stay inside
+    # a watchdog budget; rate extrapolates from the subsample mean.
+    ref_same = None
+    sample = int(os.environ.get("BENCH_REF_SAMPLE", min(BATCH, 64)))
+    if sample > 0 and os.path.isdir("/root/reference"):
+        try:
+            ref_same = _reference_same_instances(x0s[:sample], y0s[:sample])
+        except Exception:  # pragma: no cover - env-dependent
+            import traceback
+
+            traceback.print_exc()
+
     import jax
 
     payload = {
@@ -82,7 +151,11 @@ def main():
         "max_segments": int(np.max(res.iterations)),
         "vs_baseline": round(rate * ref_wall, 3) if ref_wall else None,
         "baseline_note": "reference scipy-BDF IntegrationSolver, sequential CPU "
-        f"({ref_wall}s/instance measured)" if ref_wall else None,
+        f"({ref_wall}s/instance measured, nominal start)" if ref_wall else None,
+        "reference_same_instances": ref_same,
+        "vs_reference_same_instances": (
+            round(rate / ref_same["solves_per_sec"], 3) if ref_same else None
+        ),
     }
     write_artifact("r3_integration_batch.json", payload)
     print(json.dumps(payload))
