@@ -232,6 +232,57 @@ def _globalized(cfg: NewtonCfg):
     return init, step
 
 
+# ----------------------------------------------------------------------
+# FixedActiveSet Newton: user-pinned active set, derivatives re-evaluated
+# and refactored each inner step (reference newton.py:92-178; unreachable
+# dead code there — its __init__ dereferences the step_solver *module*,
+# newton.py:101 — so semantics here follow this package's convention:
+# active = pinned/clipped)
+# ----------------------------------------------------------------------
+
+
+def active_set_from_iterate(
+    fns: Fns, it: Iterate, lb, ub, rho=0.0, active_tol=1e-8
+):
+    """Classify variables as pinned from the sign of the augmented-
+    Lagrangian gradient at the bounds (counterpart of the reference's
+    ``FixedActiveSetNewtonMethod.active_set_from_iterate``,
+    ``newton.py:131-156``): a variable sitting on (or violating) a bound
+    whose flow direction ``-d`` points outward stays clipped; everything
+    else is free."""
+    from .iterate import aug_lag_deriv_x
+
+    x = it.x
+    d = aug_lag_deriv_x(it, rho, fns=fns)
+    at_lower = x <= lb + active_tol
+    at_upper = x >= ub - active_tol
+    pin_lower = jnp.logical_and(at_lower, d >= 0.0)
+    pin_upper = jnp.logical_and(at_upper, d <= 0.0)
+    return jnp.logical_or(pin_lower, pin_upper)
+
+
+def _fixed_active_set(cfg: NewtonCfg):
+    fixed = cfg.params.fixed_active_set
+
+    def init(orig: Iterate, lamb, rho, tau, counters: Counters):
+        func = _make_func(cfg, orig, lamb)
+        if fixed is None:
+            active = active_set_from_iterate(
+                cfg.fns, orig, cfg.lb, cfg.ub, rho, cfg.params.active_tol
+            )
+        else:
+            active = jnp.asarray(fixed, bool)
+        return (func, active, rho), counters
+
+    def step(carry, cur: Iterate, counters: Counters):
+        func, active, rho = carry
+        fact, counters = _factorize(cfg, func, cur, active, rho, counters)
+        dx, dy = cfg.ssdef.solve(fact, func, cur, rho)
+        return _result(cfg, cur, dx, dy, active, fact.rcond), carry, counters
+
+    return init, step
+
+
 def make_newton(cfg: NewtonCfg):
     """Factory keyed on NewtonType (reference ``newton.py:307-323``)."""
     nt = cfg.params.newton_type
@@ -246,6 +297,8 @@ def make_newton(cfg: NewtonCfg):
         return _full(cfg)
     elif nt == NewtonType.ActiveSet:
         return _active_set(cfg)
+    elif nt == NewtonType.FixedActiveSet:
+        return _fixed_active_set(cfg)
     else:
         assert nt == NewtonType.Globalized
         return _globalized(cfg)

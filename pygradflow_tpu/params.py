@@ -37,6 +37,13 @@ class NewtonType(Enum):
     """Derivatives frozen, active set recomputed each iterate."""
     Globalized = auto()
     """Full Newton with Armijo line search on the residual merit."""
+    FixedActiveSet = auto()
+    """User-fixed active set (``params.fixed_active_set``), derivatives
+    re-evaluated + refactored each inner step.  The reference ships this
+    as ``FixedActiveSetNewtonMethod`` (``newton.py:92-178``) but its
+    ``__init__`` dereferences a module as an object (``newton.py:101``),
+    so it is unreachable dead code there; this is a working equivalent in
+    this package's active-set convention (True = pinned/clipped)."""
 
 
 class StepSolverType(Enum):
@@ -186,6 +193,10 @@ class Params:
 
     newton_type: NewtonType = NewtonType.Simplified
     newton_tol: float = 1e-8
+    # explicit active set for NewtonType.FixedActiveSet (bool array over
+    # the TRANSFORMED variables, True = pinned); None derives it from the
+    # step-origin iterate via newton.active_set_from_iterate
+    fixed_active_set: Optional[Any] = None
 
     step_control_type: StepControlType = StepControlType.DistanceRatio
 

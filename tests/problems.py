@@ -26,6 +26,19 @@ class Rosenbrock(Problem):
         return (self.a - x) ** 2 + self.b * (y - x**2) ** 2
 
 
+class BoundedQuad(Problem):
+    """``min 1/2 ||x - c||^2`` over the unit box — tiny fixture for
+    active-set classification tests (gradient at x is x - c)."""
+
+    def __init__(self, c):
+        self.c = np.asarray(c, dtype=float)
+        n = self.c.shape[0]
+        super().__init__(np.zeros(n), np.ones(n))
+
+    def obj(self, x):
+        return 0.5 * jnp.sum((x - self.c) ** 2)
+
+
 class HS71(Problem):
     """Hock-Schittkowski 71 with an explicit slack variable making both
     nonlinear constraints equalities (mirrors the reference fixture)."""

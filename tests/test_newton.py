@@ -78,6 +78,61 @@ def test_deriv_zeroes_active_rows(scaled):
         np.testing.assert_allclose(row, expect)
 
 
+def test_active_set_from_iterate():
+    """Pin classification by gradient sign at the bounds (counterpart of
+    reference ``FixedActiveSetNewtonMethod.active_set_from_iterate``,
+    ``newton.py:131-156`` — unreachable dead code there, working here)."""
+    from pygradflow_tpu.newton import active_set_from_iterate
+    from tests.problems import BoundedQuad
+
+    # min 1/2 ||x - c||^2 over [0, 1]^3, c = (-1, 0.5, 2): gradient at a
+    # bound-sitting point x = (0, 0.5, 1) is x - c = (1, 0, -1) =>
+    # x0 pinned at lower (d >= 0), x1 free (interior), x2 pinned at upper
+    prob = BoundedQuad(np.array([-1.0, 0.5, 2.0]))
+    params = Params()
+    fns = make_fns(prob, params)
+    lb = jnp.asarray(prob.var_lb)
+    ub = jnp.asarray(prob.var_ub)
+    it = evaluate_iterate(fns, jnp.asarray([0.0, 0.5, 1.0]), jnp.zeros((0,)))
+    active = np.asarray(active_set_from_iterate(fns, it, lb, ub))
+    np.testing.assert_array_equal(active, [True, False, True])
+
+    # flip the target: gradients point inward, nothing stays pinned
+    prob2 = BoundedQuad(np.array([1.0, 0.5, -1.0]))
+    fns2 = make_fns(prob2, params)
+    it2 = evaluate_iterate(fns2, jnp.asarray([0.0, 0.5, 1.0]), jnp.zeros((0,)))
+    active2 = np.asarray(active_set_from_iterate(fns2, it2, lb, ub))
+    np.testing.assert_array_equal(active2, [False, False, False])
+
+
+def test_fixed_active_set_solves():
+    """End-to-end solve with the optimum's active set pinned explicitly
+    (HS71: x1 at its lower bound, the slack at 0): Newton on the reduced
+    system must reproduce the default solution."""
+    from pygradflow_tpu import Solver
+
+    inst = hs71_instance()
+    params = Params(
+        newton_type=NewtonType.FixedActiveSet,
+        fixed_active_set=np.array([True, False, False, False, True]),
+    )
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.status.name == "Optimal"
+    np.testing.assert_allclose(np.asarray(result.x), inst.x_opt, atol=1e-6)
+
+
+def test_fixed_active_set_derived_default():
+    """fixed_active_set=None derives the pin set from each step origin —
+    the sweepable default."""
+    from pygradflow_tpu import Solver
+
+    inst = hs71_instance()
+    params = Params(newton_type=NewtonType.FixedActiveSet)
+    result = Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+    assert result.status.name == "Optimal"
+    np.testing.assert_allclose(np.asarray(result.x), inst.x_opt, atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "newton_type",
     [NewtonType.Simplified, NewtonType.Full, NewtonType.ActiveSet, NewtonType.Globalized],
