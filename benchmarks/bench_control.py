@@ -39,12 +39,15 @@ def bench_batched(inter, N, B):
     from pygradflow_tpu import LinearSolverType, Params, StepSolverType
     from pygradflow_tpu.parallel.batch import BatchedSolver
 
-    # vmapped Pallas factors route through the grid-free batched kernel
-    # (custom_vmap in linalg/pallas_ldlt.py), so the Pallas dual factor
-    # works in lockstep batching too
+    # matrix-free staged tier: O(N) data per lane, so a fleet of long
+    # horizons fits easily; vmapped Pallas factors (the BCR root) route
+    # through the grid-free batched kernel (custom_vmap in
+    # linalg/pallas_ldlt.py)
     params = Params(
         step_solver_type=StepSolverType.Schur,
         schur_block_size=3,
+        schur_dual_block_size=2,
+        matrix_free=True,
         linear_solver_type=LinearSolverType.PallasLDLT,
         iteration_limit=3000,
         validate_input=False,
