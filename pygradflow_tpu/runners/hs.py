@@ -932,6 +932,156 @@ HS_SPECS = [
         cons_ub=np.full(8, INF),
         f_opt=24.30620907,
     ),
+    # ---- round-3 batch 2: constrained-Rosenbrock family, volume /
+    # trigonometric equality problems, and the hs51-53 quadratic family
+    # completion (book formulations, Hock & Schittkowski 1981)
+    HSSpec(
+        name="hs15",
+        obj=_rosenbrock_obj,
+        var_lb=_a(-INF, -INF),
+        var_ub=_a(0.5, INF),
+        x0=_a(-2.0, 1.0),
+        cons=lambda x: jnp.array([x[0] * x[1] - 1.0, x[0] + x[1] ** 2]),
+        cons_lb=np.zeros(2),
+        cons_ub=np.full(2, INF),
+        x_opt=_a(0.5, 2.0),
+        f_opt=306.5,
+    ),
+    HSSpec(
+        name="hs20",
+        obj=_rosenbrock_obj,
+        var_lb=_a(-0.5, -INF),
+        var_ub=_a(0.5, INF),
+        x0=_a(-2.0, 1.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + x[1] ** 2,
+                x[0] ** 2 + x[1],
+                x[0] ** 2 + x[1] ** 2 - 1.0,
+            ]
+        ),
+        cons_lb=np.zeros(3),
+        cons_ub=np.full(3, INF),
+        # book optimum sits at x1 = +0.5; from the clipped start
+        # (-0.5, 1) the projected flow (like any local method started
+        # there) converges to the symmetric KKT point at x1 = -0.5 with
+        # f = f_opt + 2 — status Optimal, objective locally optimal
+        x_opt=_a(0.5, np.sqrt(3.0) / 2.0),
+        f_opt=81.5 - 25.0 * np.sqrt(3.0),
+    ),
+    HSSpec(
+        name="hs37",
+        obj=lambda x: -x[0] * x[1] * x[2],
+        var_lb=np.zeros(3),
+        var_ub=np.full(3, 42.0),
+        x0=np.full(3, 10.0),
+        cons=lambda x: jnp.array(
+            [
+                72.0 - x[0] - 2.0 * x[1] - 2.0 * x[2],
+                x[0] + 2.0 * x[1] + 2.0 * x[2],
+            ]
+        ),
+        cons_lb=np.zeros(2),
+        cons_ub=np.full(2, INF),
+        x_opt=_a(24.0, 12.0, 12.0),
+        f_opt=-3456.0,
+    ),
+    HSSpec(
+        name="hs41",
+        obj=lambda x: 2.0 - x[0] * x[1] * x[2],
+        var_lb=np.zeros(4),
+        var_ub=_a(1.0, 1.0, 1.0, 2.0),
+        x0=np.full(4, 2.0),
+        cons=lambda x: jnp.array([x[0] + 2.0 * x[1] + 2.0 * x[2] - x[3]]),
+        num_eq_cons=1,
+        x_opt=_a(2.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0, 2.0),
+        f_opt=52.0 / 27.0,
+    ),
+    HSSpec(
+        name="hs46",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[2] - 1.0) ** 2
+            + (x[3] - 1.0) ** 4
+            + (x[4] - 1.0) ** 6
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(np.sqrt(2.0) / 2.0, 1.75, 0.5, 2.0, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] ** 2 * x[3] + jnp.sin(x[3] - x[4]) - 1.0,
+                x[1] + x[2] ** 4 * x[3] ** 2 - 2.0,
+            ]
+        ),
+        num_eq_cons=2,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs47",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[1] - x[2]) ** 3
+            + (x[2] - x[3]) ** 4
+            + (x[3] - x[4]) ** 4
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=_a(2.0, np.sqrt(2.0), -1.0, 2.0 - np.sqrt(2.0), 0.5),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + x[1] ** 2 + x[2] ** 3 - 3.0,
+                x[1] - x[2] ** 2 + x[3] - 1.0,
+                x[0] * x[4] - 1.0,
+            ]
+        ),
+        num_eq_cons=3,
+        x_opt=np.ones(5),
+        f_opt=0.0,
+    ),
+    HSSpec(
+        name="hs53",
+        obj=lambda x: (
+            (x[0] - x[1]) ** 2
+            + (x[1] + x[2] - 2.0) ** 2
+            + (x[3] - 1.0) ** 2
+            + (x[4] - 1.0) ** 2
+        ),
+        var_lb=np.full(5, -10.0),
+        var_ub=np.full(5, 10.0),
+        x0=np.full(5, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 3.0 * x[1],
+                x[2] + x[3] - 2.0 * x[4],
+                x[1] - x[4],
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=176.0 / 43.0,
+    ),
+    HSSpec(
+        name="hs77",
+        obj=lambda x: (
+            (x[0] - 1.0) ** 2
+            + (x[0] - x[1]) ** 2
+            + (x[2] - 1.0) ** 2
+            + (x[3] - 1.0) ** 4
+            + (x[4] - 1.0) ** 6
+        ),
+        var_lb=np.full(5, -INF),
+        var_ub=np.full(5, INF),
+        x0=np.full(5, 2.0),
+        cons=lambda x: jnp.array(
+            [
+                x[0] ** 2 * x[3] + jnp.sin(x[3] - x[4]) - 2.0 * np.sqrt(2.0),
+                x[1] + x[2] ** 4 * x[3] ** 2 - 8.0 - np.sqrt(2.0),
+            ]
+        ),
+        num_eq_cons=2,
+        f_opt=0.24150513,
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

@@ -12,10 +12,12 @@ from pygradflow_tpu import Params, Solver
 
 
 HS_QUICK = [
-    "hs3", "hs6", "hs8", "hs9", "hs10", "hs11", "hs12", "hs16", "hs21",
-    "hs22", "hs23", "hs24", "hs26", "hs27", "hs28", "hs29", "hs30", "hs31",
-    "hs35", "hs36", "hs42", "hs43", "hs48", "hs49", "hs50", "hs51", "hs52",
-    "hs76",
+    "hs3", "hs6", "hs8", "hs9", "hs10", "hs11", "hs12", "hs15", "hs16",
+    "hs21", "hs22", "hs23", "hs24", "hs26", "hs27", "hs28", "hs29", "hs30",
+    "hs31", "hs35", "hs36", "hs37", "hs41", "hs42", "hs43", "hs46", "hs47",
+    "hs48", "hs49", "hs50", "hs51", "hs52", "hs53", "hs76", "hs77",
+    # hs20 is excluded: from the clipped start the flow converges to the
+    # symmetric local KKT point at x1=-0.5 (f = book f_opt + 2)
 ]
 
 
@@ -27,10 +29,11 @@ def test_hs_known_optimum(name):
     result = Solver(spec.problem(), Params()).solve(spec.x0)
     assert result.success, f"{name}: {result.status}"
     if spec.x_opt is not None:
-        # hs3 is nearly flat in x1 (1e-5 coefficient); hs26/hs49/hs50 have
-        # quartic/sextic-degenerate optima: the 1e-6 KKT tolerance admits
-        # points ~1e-2 from the minimizer
-        atol = 1e-1 if name in ("hs3", "hs26", "hs49", "hs50") else 1e-4
+        # hs3 is nearly flat in x1 (1e-5 coefficient); hs26/46/47/49/50
+        # have quartic/sextic-degenerate optima: the 1e-6 KKT tolerance
+        # admits points ~1e-2 from the minimizer
+        degenerate = ("hs3", "hs26", "hs46", "hs47", "hs49", "hs50")
+        atol = 1e-1 if name in degenerate else 1e-4
         np.testing.assert_allclose(result.x, spec.x_opt, atol=atol)
     if spec.f_opt is not None:
         x_val = float(spec.problem().obj(np.asarray(result.x)))
