@@ -182,6 +182,9 @@ for prob in [
     "hs8", "hs11", "hs16", "hs23", "hs31", "hs33", "hs52", "hs76",
     "hs34", "hs39", "hs40", "hs44", "hs60", "hs63", "hs64", "hs65",
     "hs66", "hs78", "hs79", "hs93", "hs100", "hs113",
+    # round-3 batch 2 (hs20: both sides land on the same local KKT
+    # point from the clipped start — parity is exactly the claim)
+    "hs15", "hs20", "hs37", "hs41", "hs46", "hs47", "hs53", "hs77",
 ]:
     from pygradflow_tpu.runners.hs import HS_BY_NAME as _HS
 
@@ -377,6 +380,17 @@ def main():
         same_status = rs == os_
         same_iters = ri == oi
         same_x = np.allclose(rx, ox, atol=1e-5)
+        # quartic/sextic-degenerate optima (flat valleys): the 1e-6 KKT
+        # tolerance admits a continuum of points ~1e-2 apart, so two
+        # correct solvers stop at different x with the same objective —
+        # compare objective values there (cf. tests/test_runners.py)
+        if prob in ("hs46", "hs47") and same_status and not same_x:
+            from pygradflow_tpu.runners.hs import HS_BY_NAME as _HSD
+
+            _p = _HSD[prob].problem()
+            same_x = abs(
+                float(_p.obj(np.asarray(rx))) - float(_p.obj(np.asarray(ox)))
+            ) < 1e-6
         # at a non-Optimal terminal status the final point is an
         # infeasibility/limit certificate, not a solution — two correct
         # solvers need not stop at the same certificate (hs93: both
