@@ -8,9 +8,11 @@ factorizations on the MXU and only the dense dual Schur complement needs
 a full factorization — here delegated to the Pallas mixed-precision
 kernel (f32 factor + f64 iterative refinement).
 
-On a TPU v5e this solves a horizon-256 instance (770 variables, 514
-constraints) in ~0.19 s — faster than the reference's sparse SuperLU
-factorization on CPU (~0.28 s).
+On a TPU v5e the matrix-free staged tier below solves a horizon-256
+instance (770 variables, 514 constraints) in 0.058 s vs the reference's
+sparse SuperLU on CPU at 0.112 s, and wins at every horizon measured —
+N=4096 (KKT 20484) takes 0.158 s vs the reference's 1.607 s
+(``benchmarks/artifacts/r3_control*.json``).
 """
 
 import numpy as np
