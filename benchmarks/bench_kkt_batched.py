@@ -63,13 +63,29 @@ def main():
     platform = jax.devices()[0].platform
 
     rng = np.random.default_rng(7)
+
+    # HBM guard: f64 input + f32 working copy + packed f32 factor
+    # + refine-loop temps; (2048, 64) measured 16.27 GB on a 15.75 GB
+    # chip => effective multiplier ~8x the f64 input (XLA double-buffers
+    # the while-loop carries)
+    def guard_skips(size, batch):
+        return batch * size * size * 8 * 8 / 1e9 > args.max_cell_gb
+
     # merge with a prior partial run (cells are independent; chunked
-    # invocations stay inside the watchdog budget)
+    # invocations stay inside the watchdog budget).  Guard-skipped cells
+    # will NOT be re-measured below, so they must not count as
+    # "requested" — otherwise a re-run that includes a too-large cell
+    # silently deletes its prior measurement from the artifact
     records = []
     if os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
-        requested = {(s, b) for s in args.sizes for b in args.batches}
+        requested = {
+            (s, b)
+            for s in args.sizes
+            for b in args.batches
+            if not guard_skips(s, b)
+        }
         records = [
             r
             for r in prior
@@ -83,12 +99,8 @@ def main():
         base = make_kkt(n, m, rng)
 
         for batch in args.batches:
-            # HBM guard: f64 input + f32 working copy + packed f32 factor
-            # + refine-loop temps; (2048, 64) measured 16.27 GB on a
-            # 15.75 GB chip => effective multiplier ~8x the f64 input
-            # (XLA double-buffers the while-loop carries)
-            est_gb = batch * size * size * 8 * 8 / 1e9
-            if est_gb > args.max_cell_gb:
+            if guard_skips(size, batch):
+                est_gb = batch * size * size * 8 * 8 / 1e9
                 print(
                     json.dumps(
                         {"size": size, "batch": batch, "skipped": f"~{est_gb:.0f} GB"}

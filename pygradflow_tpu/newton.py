@@ -271,7 +271,21 @@ def _fixed_active_set(cfg: NewtonCfg):
                 cfg.fns, orig, cfg.lb, cfg.ub, rho, cfg.params.active_tol
             )
         else:
-            active = jnp.asarray(fixed, bool)
+            active = jnp.asarray(fixed)
+            # the reference asserts both shape and dtype (newton.py:104-105);
+            # without this a wrong-length array silently broadcasts into the
+            # active-set masking or dies with an opaque trace-time error
+            if active.dtype != jnp.bool_:
+                raise ValueError(
+                    "params.fixed_active_set must be a bool array "
+                    f"(got dtype {active.dtype})"
+                )
+            if active.shape != orig.x.shape:
+                raise ValueError(
+                    "params.fixed_active_set must cover the TRANSFORMED "
+                    f"variables: expected shape {orig.x.shape} (after "
+                    f"scaling + slack transform), got {active.shape}"
+                )
         return (func, active, rho), counters
 
     def step(carry, cur: Iterate, counters: Counters):

@@ -332,6 +332,15 @@ class Params:
             def represent_data(self, data):
                 if isinstance(data, enum.Enum):
                     return self.represent_data(data.name)
+                # numpy/jax arrays and numpy scalars (fixed_active_set,
+                # scaling_primal/dual, ...) have no SafeDumper representer;
+                # round-trip them through plain lists / python scalars
+                if isinstance(data, np.generic) or (
+                    not isinstance(data, (str, bytes, enum.Enum))
+                    and type(data).__module__ not in ("builtins",)
+                    and hasattr(data, "tolist")
+                ):
+                    return self.represent_data(data.tolist())
                 return super().represent_data(data)
 
         with open(filename, "w") as f:

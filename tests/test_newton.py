@@ -121,6 +121,25 @@ def test_fixed_active_set_solves():
     np.testing.assert_allclose(np.asarray(result.x), inst.x_opt, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "bad, match",
+    [
+        (np.array([True, False]), "shape"),  # wrong length (5 transformed vars)
+        (np.array([1, 0, 0, 0, 1]), "bool"),  # wrong dtype
+    ],
+)
+def test_fixed_active_set_validates(bad, match):
+    """A wrong-shape/dtype pin mask must raise a clear error instead of
+    silently broadcasting into the active-set masking (the reference
+    asserts both, newton.py:104-105)."""
+    from pygradflow_tpu import Solver
+
+    inst = hs71_instance()
+    params = Params(newton_type=NewtonType.FixedActiveSet, fixed_active_set=bad)
+    with pytest.raises(ValueError, match=match):
+        Solver(inst.problem, params).solve(inst.x_0, inst.y_0)
+
+
 def test_fixed_active_set_derived_default():
     """fixed_active_set=None derives the pin set from each step origin —
     the sweepable default."""

@@ -28,6 +28,24 @@ def test_yaml_roundtrip(tmp_path):
         assert getattr(restored, key) == getattr(params, key), key
 
 
+def test_yaml_write_with_array_fields(tmp_path):
+    """numpy arrays in fixed_active_set / scaling_primal have no SafeDumper
+    representer by default; write() must round-trip them as plain lists
+    instead of raising RepresenterError."""
+    params = Params(
+        newton_type=NewtonType.FixedActiveSet,
+        fixed_active_set=np.array([True, False, True]),
+        scaling_primal=np.array([1.0, 2.0]),
+        rho=np.float64(0.5),
+    )
+    path = tmp_path / "params.yml"
+    params.write(str(path))
+    restored = Params.read(str(path))
+    assert restored.fixed_active_set == [True, False, True]
+    assert restored.scaling_primal == [1.0, 2.0]
+    assert restored.rho == 0.5
+
+
 def test_string_enum_coercion():
     params = Params(newton_type="Full", penalty_update="Constant")
     assert params.newton_type == NewtonType.Full
