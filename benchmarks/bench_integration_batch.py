@@ -157,7 +157,9 @@ def main():
             round(rate / ref_same["solves_per_sec"], 3) if ref_same else None
         ),
     }
-    write_artifact("r3_integration_batch.json", payload)
+    write_artifact(
+        os.environ.get("BENCH_ARTIFACT", "r4_integration_batch.json"), payload
+    )
     print(json.dumps(payload))
 
 

@@ -134,7 +134,27 @@ def _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol):
         ok = jnp.logical_and(err <= 1.0, jnp.all(jnp.isfinite(w)))
 
         def escalate(_):
-            wf, itf, errf = jax.lax.while_loop(cond, full_body, init)
+            # From-scratch restart, deliberately NOT warm-started: this
+            # branch is only selected when the frozen iteration truly
+            # diverged (err > 1.0 — a stalled-but-converging endpoint is
+            # already accepted by the frozen branch), and full Newton from
+            # a diverged endpoint lands on wrong stage roots (measured:
+            # warm-starting turned the nominal HS71 SDIRK4 solve from 194
+            # into 2302 steps).
+            #
+            # err_start masks CONVERGED lanes out of the loop under vmap:
+            # a vmapped lax.cond lowers to a select that evaluates both
+            # branches for every lane, and with a plain err=inf init the
+            # escalation loop re-solved every stage for every lane every
+            # step (~half the batched engine's per-work-unit cost).  With
+            # err_start=0 those lanes fail the loop cond immediately, so
+            # the batched trip count is the max over lanes that actually
+            # need escalating — zero when none does.  Selected results are
+            # unchanged: ok lanes take the frozen branch of the cond.
+            err_start = jnp.where(ok, jnp.zeros((), dtype), jnp.asarray(jnp.inf, dtype))
+            wf, itf, errf = jax.lax.while_loop(
+                cond, full_body, (w0, jnp.zeros((), jnp.int32), err_start)
+            )
             okf = jnp.logical_and(errf <= 1.0, jnp.all(jnp.isfinite(wf)))
             return wf, okf, iters + itf
 

@@ -11,6 +11,17 @@ iteration in ``lax.cond`` on the lane's status, which under vmap becomes a
 ``select`` — converged lanes' updates are computed but discarded, and the
 chunk loop stops when every lane has a terminal status.
 
+Large f64 batches are COMPUTE-bound (RESULTS.md: the B=16384 HS71 sweep
+stops being latency-bound), so discarded lockstep updates are real cost:
+with a median of ~20 iterations and stragglers at 2-3x that, full-width
+lockstep pays ``B * max_iters`` lane-iterations for ``~B * median`` of
+useful work.  ``compact=True`` (auto for large batches) harvests
+terminated lanes at chunk boundaries and re-packs the active remainder
+into power-of-four width tiers, so straggler iterations run at straggler
+width.  Lane trajectories are unchanged — lanes are independent and
+compaction only permutes them (equivalence tested in
+``tests/test_batch.py``).
+
 Per-instance *problem data* (a "scenario sweep": same structure, different
 coefficients) is supported through :class:`ParametricProblem`: the data
 pytree is an explicit vmapped argument, bound to the problem object at
@@ -86,7 +97,21 @@ class BatchedSolver:
     pytree).
     """
 
-    def __init__(self, problem: Problem, params: Optional[Params] = None):
+    def __init__(
+        self,
+        problem: Problem,
+        params: Optional[Params] = None,
+        compact: Optional[bool] = None,
+        harvest_chunk: int = 16,
+        min_tier: int = 64,
+    ):
+        """``compact``: harvest terminated lanes at chunk boundaries and
+        shrink the running batch to power-of-four width tiers (None =
+        auto: enabled when the batch is at least ``4 * min_tier`` wide).
+        ``harvest_chunk`` bounds the iterations between harvest checks in
+        compacting mode (``jit_chunk`` still applies when smaller);
+        ``min_tier`` is the smallest width tiers shrink to (each tier is
+        one extra XLA compilation of the chunk loop)."""
         if params is None:
             params = Params()
         # display/callbacks are host side effects — meaningless per-lane
@@ -98,6 +123,9 @@ class BatchedSolver:
         self.transform = Transformation(problem, params)
         self.loop = SolveLoop(self.transform, params, callbacks=None)
         self.parametric = isinstance(problem, ParametricProblem)
+        self.compact = compact
+        self.harvest_chunk = int(harvest_chunk)
+        self.min_tier = int(min_tier)
 
         self._run = jax.jit(self._run_chunk, static_argnums=(2,))
 
@@ -173,6 +201,12 @@ class BatchedSolver:
             states = jax.jit(jax.vmap(init_one))(x0, y0)
 
         timer = Timer(params.time_limit)
+        compact = self.compact
+        if compact is None:
+            compact = B >= 4 * self.min_tier
+        if compact:
+            return self._solve_compacting(states, data, B, timer)
+
         chunk = params.jit_chunk
         while True:
             states = self._run(states, data, chunk)
@@ -189,6 +223,87 @@ class BatchedSolver:
                 break
 
         return self._collect(states, data)
+
+    # ------------------------------------------------------------------
+
+    def _solve_compacting(self, states, data, B: int, timer) -> BatchResult:
+        """Chunked solve with lane harvesting + width compaction.
+
+        Invariant: ``states`` has width ``W`` whose first ``L`` lanes are
+        the still-running instances ``active[orig]``; the rest are frozen
+        padding (non-RUNNING status, never advanced by ``body``'s status
+        cond).  Terminated lanes are fetched to host exactly once; the
+        final result is assembled in original lane order and finalized by
+        ONE vmapped dispatch at full width."""
+        params = self.params
+        chunk = min(params.jit_chunk, self.harvest_chunk)
+
+        final = [None] * B
+        active = np.arange(B)  # original indices of lanes [0:L)
+        L = B
+
+        def harvest(rows_local, states, timed_out=False):
+            # ONE packed transfer per harvest (eager scalar fetches cost
+            # ~30 ms each through the TPU tunnel)
+            rows_dev = jnp.asarray(rows_local)
+            sub = jax.device_get(
+                jax.tree_util.tree_map(lambda a: a[rows_dev], states)
+            )
+            if timed_out:
+                sub = sub._replace(
+                    status=np.where(
+                        sub.status == RUNNING,
+                        int(SolverStatus.TimeLimit),
+                        sub.status,
+                    )
+                )
+            for j, orig in enumerate(active[rows_local]):
+                final[orig] = jax.tree_util.tree_map(lambda a: a[j], sub)
+
+        # cur_data is carried through the same gathers as states so lane
+        # j's data always matches lane j's state (padded width included)
+        cur_data = (
+            jax.tree_util.tree_map(jnp.asarray, data) if self.parametric else None
+        )
+
+        while L:
+            states = self._run(states, cur_data, chunk)
+            status = np.asarray(states.status[:L])
+            running = status == RUNNING
+
+            if timer.reached_time_limit():
+                harvest(np.arange(L), states, timed_out=True)
+                break
+            done_local = np.where(~running)[0]
+            if not done_local.size:
+                continue
+            harvest(done_local, states)
+            keep = np.where(running)[0]
+            active = active[keep]
+            L = int(active.size)
+            if not L:
+                break
+            # shrink to the smallest power-of-4 divisor tier still >= L
+            W = int(states.status.shape[0])
+            new_W = W
+            while new_W // 4 >= max(L, self.min_tier):
+                new_W //= 4
+            pad = np.full(new_W - L, keep[0], dtype=keep.dtype)
+            gather = jnp.asarray(np.concatenate([keep, pad]))
+            states = jax.tree_util.tree_map(lambda a: a[gather], states)
+            if self.parametric:
+                cur_data = jax.tree_util.tree_map(lambda a: a[gather], cur_data)
+            if new_W > L:
+                states = states._replace(
+                    status=states.status.at[L:].set(
+                        int(SolverStatus.IterationLimit)
+                    )
+                )
+
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.asarray(np.stack(leaves, axis=0)), *final
+        )
+        return self._collect(stacked, data)
 
     def _transform_initial(self, x, y, data):
         """Traced equivalent of Transformation.create_transformed_initial."""

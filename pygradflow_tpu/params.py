@@ -282,8 +282,16 @@ class Params:
     integration_rtol: float = 1e-6
     integration_atol: float = 1e-9
     """Local error tolerances of the adaptive segment integrator
-    (scipy-style per-component scale ``atol + rtol*|z|``, matching the
-    reference's BDF call in ``integration_solver.py:278-285``)."""
+    (scipy-style per-component scale ``atol + rtol*|z|``).  Deliberately
+    TIGHTER than the reference's BDF call (which passes no tolerances,
+    so scipy defaults rtol=1e-3/atol=1e-6 apply,
+    ``integration_solver.py:278-285``): scipy localizes events by
+    root-finding on a smooth dense-output interpolant, so a loose path
+    still yields accurate event times, whereas our vectorized
+    discrete-crossing tests + bisection re-integration see the path
+    itself — measured at scipy's defaults (benchmarks/probe_tol.py),
+    HS71 wanders (1540 steps vs 194, converges 0.5 away from the
+    optimum) while only Tame gets cheaper (93 vs 240 steps)."""
 
     integration_max_steps: int = 300_000
     """Hard cap on attempted steps per integration segment."""

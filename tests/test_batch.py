@@ -71,6 +71,45 @@ def test_parametric_batch():
     np.testing.assert_allclose(res.x, expect, atol=1e-5)
 
 
+def test_compacting_matches_plain():
+    """Harvest+compaction must only permute lanes, never change their
+    trajectories: bitwise-equal results to the non-compacting path, with
+    heterogeneous iteration counts forcing several harvest/shrink cycles."""
+    problem = Rosenbrock()
+    params = Params()
+    rng = np.random.default_rng(3)
+    x0s = rng.uniform(-2.0, 2.0, size=(12, 2))
+
+    plain = BatchedSolver(problem, params, compact=False).solve(x0s)
+    compacted = BatchedSolver(
+        problem, params, compact=True, harvest_chunk=4, min_tier=2
+    ).solve(x0s)
+
+    np.testing.assert_array_equal(compacted.status, plain.status)
+    np.testing.assert_array_equal(compacted.iterations, plain.iterations)
+    np.testing.assert_array_equal(
+        compacted.accepted_steps, plain.accepted_steps
+    )
+    np.testing.assert_array_equal(compacted.x, plain.x)
+    np.testing.assert_array_equal(compacted.y, plain.y)
+
+
+def test_compacting_parametric():
+    """Compaction keeps per-lane problem data aligned through repacks."""
+    problem = ParamRosenbrock()
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, size=10))
+    b = jnp.asarray(rng.uniform(10.0, 100.0, size=10))
+    x0s = np.zeros((10, 2))
+
+    res = BatchedSolver(
+        problem, Params(), compact=True, harvest_chunk=4, min_tier=2
+    ).solve(x0s, data=(a, b))
+    assert res.success.all()
+    expect = np.stack([np.asarray(a), np.asarray(a) ** 2], axis=1)
+    np.testing.assert_allclose(res.x, expect, atol=1e-5)
+
+
 def test_sharded_matches_batched():
     import jax
 
