@@ -99,7 +99,10 @@ def run_ours(x0s):
         # lamb_min ~1e-6 for single precision)
         params.opt_tol = 1e-4
         params.lamb_min = 1e-6
-    solver = BatchedSolver(Rosenbrock(), params)
+    # BENCH_COMPACT=0/1 overrides the auto harvest+compaction decision
+    compact_env = os.environ.get("BENCH_COMPACT")
+    compact = None if compact_env is None else bool(int(compact_env))
+    solver = BatchedSolver(Rosenbrock(), params, compact=compact)
 
     # warmup: populate compile caches with the same shapes
     warm = solver.solve(x0s)

@@ -63,7 +63,11 @@ def run_tier(batch, precision, opt_tol):
     )
     if precision == "Single":
         params.lamb_min = 1e-6  # reference params.py:210-211 f32 note
-    solver = BatchedSolver(HS71(), params)
+    # BENCH_COMPACT=0/1 overrides the auto harvest+compaction decision
+    # (for measuring the compaction win itself)
+    compact_env = os.environ.get("BENCH_COMPACT")
+    compact = None if compact_env is None else bool(int(compact_env))
+    solver = BatchedSolver(HS71(), params, compact=compact)
 
     x0s = make_starts(batch)
     y0s = np.zeros((batch, 2))
@@ -133,7 +137,7 @@ def main():
 
     from baseline_cache import ART, write_artifact
 
-    artifact = "r3_hs.json"
+    artifact = os.environ.get("BENCH_ARTIFACT", "r4_hs.json")
     prior = os.path.join(ART, artifact)
     if args.tiers is not None and os.path.exists(prior):
         with open(prior) as f:

@@ -16,8 +16,15 @@ HS_QUICK = [
     "hs21", "hs22", "hs23", "hs24", "hs26", "hs27", "hs28", "hs29", "hs30",
     "hs31", "hs35", "hs36", "hs37", "hs41", "hs42", "hs43", "hs46", "hs47",
     "hs48", "hs49", "hs50", "hs51", "hs52", "hs53", "hs76", "hs77",
+    # round-4 additions with clean convergence to the book optimum
+    "hs19", "hs32", "hs61", "hs73", "hs80", "hs110", "hs111", "hs118",
     # hs20 is excluded: from the clipped start the flow converges to the
-    # symmetric local KKT point at x1=-0.5 (f = book f_opt + 2)
+    # symmetric local KKT point at x1=-0.5 (f = book f_opt + 2);
+    # hs13/hs25/hs72/hs81/hs106 are excluded here because their verified
+    # behavior is REFERENCE PARITY rather than the book optimum (flat
+    # plateau / rounded book value / secondary KKT point / joint failure
+    # — see the spec comments in runners/hs.py); hs62 converges but
+    # needs ~2400 iterations (covered by the sweep, not the quick test)
 ]
 
 
