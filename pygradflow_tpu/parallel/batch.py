@@ -102,16 +102,19 @@ class BatchedSolver:
         problem: Problem,
         params: Optional[Params] = None,
         compact: Optional[bool] = None,
-        harvest_chunk: int = 16,
+        harvest_chunk: Optional[int] = None,
         min_tier: int = 64,
     ):
         """``compact``: harvest terminated lanes at chunk boundaries and
         shrink the running batch to power-of-four width tiers (None =
-        auto: enabled when the batch is at least ``4 * min_tier`` wide).
-        ``harvest_chunk`` bounds the iterations between harvest checks in
-        compacting mode (``jit_chunk`` still applies when smaller);
-        ``min_tier`` is the smallest width tiers shrink to (each tier is
-        one extra XLA compilation of the chunk loop)."""
+        auto: enabled when the batch is at least ``4 * min_tier`` wide —
+        free for tight iteration distributions, which simply never
+        shrink).  ``harvest_chunk`` sets the iterations between shrink
+        checks (None = ``params.jit_chunk``: no extra dispatches at all;
+        smaller values find the shrink point earlier on long-tailed
+        batches at ~30 ms host round-trip per extra chunk).  ``min_tier``
+        is the smallest width tiers shrink to (each tier is one extra XLA
+        compilation of the chunk loop)."""
         if params is None:
             params = Params()
         # display/callbacks are host side effects — meaningless per-lane
@@ -124,7 +127,7 @@ class BatchedSolver:
         self.loop = SolveLoop(self.transform, params, callbacks=None)
         self.parametric = isinstance(problem, ParametricProblem)
         self.compact = compact
-        self.harvest_chunk = int(harvest_chunk)
+        self.harvest_chunk = None if harvest_chunk is None else int(harvest_chunk)
         self.min_tier = int(min_tier)
 
         self._run = jax.jit(self._run_chunk, static_argnums=(2,))
@@ -227,83 +230,100 @@ class BatchedSolver:
     # ------------------------------------------------------------------
 
     def _solve_compacting(self, states, data, B: int, timer) -> BatchResult:
-        """Chunked solve with lane harvesting + width compaction.
+        """Chunked solve with device-resident lane harvesting + width
+        compaction.
 
-        Invariant: ``states`` has width ``W`` whose first ``L`` lanes are
-        the still-running instances ``active[orig]``; the rest are frozen
-        padding (non-RUNNING status, never advanced by ``body``'s status
-        cond).  Terminated lanes are fetched to host exactly once; the
-        final result is assembled in original lane order and finalized by
-        ONE vmapped dispatch at full width."""
+        Invariants: ``states`` has width ``W``; its first ``L`` lanes are
+        still-running instances, the rest padding (copies of done lanes —
+        non-RUNNING status, so ``body``'s status cond freezes them).
+        ``orig_idx`` (device, width ``W``) maps each lane to its original
+        batch row, with ``B`` (out of range) for pads.  ``archive`` is a
+        full-width device buffer; lanes are scattered back into it (pads
+        dropped via ``mode='drop'``) whenever the active set shrinks to a
+        smaller power-of-four tier and once at the end — everything stays
+        on device, and the per-harvest cost is ONE fused jit dispatch.
+        The only host traffic is the per-chunk status vector."""
         params = self.params
-        chunk = min(params.jit_chunk, self.harvest_chunk)
+        chunk = (
+            params.jit_chunk
+            if self.harvest_chunk is None
+            else min(params.jit_chunk, self.harvest_chunk)
+        )
 
-        final = [None] * B
-        active = np.arange(B)  # original indices of lanes [0:L)
-        L = B
-
-        def harvest(rows_local, states, timed_out=False):
-            # ONE packed transfer per harvest (eager scalar fetches cost
-            # ~30 ms each through the TPU tunnel)
-            rows_dev = jnp.asarray(rows_local)
-            sub = jax.device_get(
-                jax.tree_util.tree_map(lambda a: a[rows_dev], states)
-            )
-            if timed_out:
-                sub = sub._replace(
-                    status=np.where(
-                        sub.status == RUNNING,
-                        int(SolverStatus.TimeLimit),
-                        sub.status,
-                    )
-                )
-            for j, orig in enumerate(active[rows_local]):
-                final[orig] = jax.tree_util.tree_map(lambda a: a[j], sub)
-
-        # cur_data is carried through the same gathers as states so lane
-        # j's data always matches lane j's state (padded width included)
         cur_data = (
             jax.tree_util.tree_map(jnp.asarray, data) if self.parametric else None
         )
 
-        while L:
+        @jax.jit
+        def _archive_scatter(archive, states, orig_idx):
+            return jax.tree_util.tree_map(
+                lambda a, c: a.at[orig_idx].set(c, mode="drop"), archive, states
+            )
+
+        @jax.jit
+        def _shrink(states, cur_data, orig_idx, gather):
+            states = jax.tree_util.tree_map(lambda a: a[gather], states)
+            if cur_data is not None:
+                cur_data = jax.tree_util.tree_map(lambda a: a[gather], cur_data)
+            return states, cur_data, orig_idx[gather]
+
+        archive = states  # full-B buffer, overwritten by scatters
+        orig_idx = jnp.arange(B)
+        active = np.arange(B)  # host mirror of orig_idx[:L]
+        L = B
+        timed_out = False
+        shrunk = False  # no shrink => states IS the full batch in order
+
+        while True:
             states = self._run(states, cur_data, chunk)
             status = np.asarray(states.status[:L])
             running = status == RUNNING
+            timed_out = timer.reached_time_limit()
+            if timed_out or not running.any():
+                break
 
-            if timer.reached_time_limit():
-                harvest(np.arange(L), states, timed_out=True)
-                break
-            done_local = np.where(~running)[0]
-            if not done_local.size:
-                continue
-            harvest(done_local, states)
+            # shrink (and scatter the done lanes out) only when the
+            # active set fits a smaller power-of-four tier — a tight
+            # iteration distribution then pays zero compaction overhead
             keep = np.where(running)[0]
-            active = active[keep]
-            L = int(active.size)
-            if not L:
-                break
-            # shrink to the smallest power-of-4 divisor tier still >= L
             W = int(states.status.shape[0])
             new_W = W
-            while new_W // 4 >= max(L, self.min_tier):
+            while new_W // 4 >= max(keep.size, self.min_tier):
                 new_W //= 4
-            pad = np.full(new_W - L, keep[0], dtype=keep.dtype)
-            gather = jnp.asarray(np.concatenate([keep, pad]))
-            states = jax.tree_util.tree_map(lambda a: a[gather], states)
-            if self.parametric:
-                cur_data = jax.tree_util.tree_map(lambda a: a[gather], cur_data)
-            if new_W > L:
-                states = states._replace(
-                    status=states.status.at[L:].set(
-                        int(SolverStatus.IterationLimit)
-                    )
-                )
+            if new_W == W:
+                continue
+            archive = _archive_scatter(archive, states, orig_idx)
+            # pad with done lanes (terminal status freezes them, and their
+            # just-archived values make any re-scatter a harmless
+            # overwrite); duplicates are fine when fewer dones than pads.
+            # orig_idx pads are mapped out of range so scatters drop them
+            done_rows = np.where(~running)[0]
+            pad_n = new_W - keep.size
+            pad_rows = np.resize(done_rows, pad_n) if pad_n else done_rows[:0]
+            gather_np = np.concatenate([keep, pad_rows])
+            gather = jnp.asarray(gather_np)
+            states, cur_data, orig_idx = _shrink(
+                states, cur_data, orig_idx, gather
+            )
+            orig_idx = orig_idx.at[keep.size:].set(B)
+            active = active[keep]
+            L = int(active.size)
+            shrunk = True
 
-        stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.asarray(np.stack(leaves, axis=0)), *final
+        # TPU scatter at full width is not free — skip it entirely when
+        # the width never changed (tight iteration distributions)
+        archive = (
+            _archive_scatter(archive, states, orig_idx) if shrunk else states
         )
-        return self._collect(stacked, data)
+        if timed_out:
+            archive = archive._replace(
+                status=jnp.where(
+                    archive.status == RUNNING,
+                    int(SolverStatus.TimeLimit),
+                    archive.status,
+                )
+            )
+        return self._collect(archive, data)
 
     def _transform_initial(self, x, y, data):
         """Traced equivalent of Transformation.create_transformed_initial."""

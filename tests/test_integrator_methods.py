@@ -3,8 +3,9 @@ end-to-end behavior vs the reference's scipy BDF-5 step counts
 (reference ``pygradflow/integration/integration_solver.py:278-285``).
 
 The round-2 verdict asked for a higher-order method closing the 2.4-2.9x
-step deficit of TR-BDF2: SDIRK4 lands within 1.1x of scipy BDF (HS71:
-194 vs 180 steps, Tame: 240 vs 239 at rho=1e-2).
+step deficit of TR-BDF2: SDIRK4 lands within 1.2x of scipy BDF (HS71:
+200 vs 180 steps, Tame: 240 vs 239 at rho=1e-2, with the round-4
+residual-chosen dual stage predictor).
 """
 
 import numpy as np
@@ -98,7 +99,8 @@ def test_sdirk4_empirical_order_four():
     [
         # steps within 1.5x the reference's scipy BDF-5 counts (180 / 239);
         # event sequences identical in kind and order, one fewer trailing
-        # penalty rung than TR-BDF2 (converges before it fires, PARITY.md)
+        # penalty rung than TR-BDF2 (converges before it fires, PARITY.md);
+        # measured 200 / 240 with the dual stage predictor
         (hs71_instance, 9, 270),
         (tame_instance, 11, 359),
     ],
