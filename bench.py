@@ -197,9 +197,9 @@ def inner_main():
             from baseline_cache import write_artifact
 
             name = (
-                "r3_rosenbrock_f32.json"
+                "r4_rosenbrock_f32.json"
                 if os.environ.get("BENCH_PRECISION") == "Single"
-                else "r3_rosenbrock.json"
+                else "r4_rosenbrock.json"
             )
             write_artifact(name, {**payload, "baseline_solves_per_sec": baseline})
         except Exception:

@@ -165,7 +165,7 @@ def main():
         rows.append({"problem": prob, "engine": "reference/BDF", **ref})
 
     os.makedirs(ART, exist_ok=True)
-    out = os.path.join(ART, "r3_integration.json")
+    out = os.path.join(ART, os.environ.get("BENCH_ARTIFACT", "r4_integration.json"))
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {out}")

@@ -416,6 +416,21 @@ class Runner(ABC):
 
             jax.config.update("jax_debug_nans", True)
 
+        # a stale JAX_PLATFORMS pointing at an unavailable accelerator
+        # plugin (e.g. the TPU tunnel env var without its site hook on
+        # PYTHONPATH) must not turn the whole sweep into error rows —
+        # fall back to CPU with a warning instead
+        try:
+            import jax
+
+            jax.devices()
+        except RuntimeError as exc:
+            run_logger.warning(
+                "Requested JAX backend unavailable (%s); falling back to CPU",
+                exc,
+            )
+            jax.config.update("jax_platforms", "cpu")
+
         if not args.no_output and args.output is None:
             stamp = datetime.datetime.now().isoformat("T", "seconds")
             args.output = f"output_{self.name}_{stamp}"
