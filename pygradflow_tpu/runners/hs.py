@@ -1189,7 +1189,10 @@ HS_SPECS = [
     ),
     HSSpec(
         # mixture/blending with log terms; feasible region keeps every
-        # log argument positive
+        # log argument positive.  Badly scaled objective (~1e4 slopes):
+        # at default NoScaling both sides converge slowly (ours 2401 its,
+        # reference 680 — drifting lambda trajectories on an ill-scaled
+        # flow); with scaling_type=GradJac both need 15 iterations
         name="hs62",
         obj=lambda x: -32.174
         * (
@@ -1307,7 +1310,12 @@ HS_SPECS = [
         # sides fail at default scaling from the book start — the
         # reference aborts with the lambda-limit "incorrect derivatives?"
         # error, this framework grinds to IterationLimit (same failure
-        # class; the lambda trajectories of failing solves differ)
+        # class; the lambda trajectories of failing solves differ).  WITH
+        # scaling (the point of the ScalingType machinery on problems
+        # like this) both sides solve it: scaling_type=GradJac ours 362
+        # its vs reference 659, both f=7049.25; with the equilibrated-KKT
+        # scaling ours solves in 180 its where the reference hits its
+        # iteration limit
         name="hs106",
         obj=lambda x: x[0] + x[1] + x[2],
         var_lb=_a(100.0, 1000.0, 1000.0, 10.0, 10.0, 10.0, 10.0, 10.0),
