@@ -1,2 +1,6 @@
-from .batch import BatchedIntegrationResult, BatchedIntegrationSolver  # noqa: F401
+from .batch import (  # noqa: F401
+    BatchedIntegrationResult,
+    BatchedIntegrationSolver,
+    ShardedIntegrationSolver,
+)
 from .integration_solver import IntegrationSolver  # noqa: F401

@@ -56,6 +56,119 @@ class BatchedIntegrationResult(NamedTuple):
         return np.asarray(self.status) == int(SolverStatus.Optimal)
 
 
+class ShardedIntegrationSolver:
+    """Continuous-engine instance sweep sharded over a device mesh — the
+    multi-chip counterpart of :class:`BatchedIntegrationSolver`, mirroring
+    the discrete engine's ``parallel.ShardedSolver``.
+
+    The instance batch is split along a 1-D mesh axis; every device
+    advances its shard of lanes through the flat chunked engine
+    (``integration/flat_loop.py``) in lockstep.  There is NO cross-shard
+    collective inside a chunk: each shard's vmapped work loop is bounded
+    by ``params.integration_chunk`` units and exits early once its local
+    lanes terminate, so shards never wait on one another mid-chunk; the
+    host checks global termination between dispatches.  Per-lane results
+    match the single-chip batched engine (statuses and solutions; segment
+    counts can differ by one where a borderline event crossing rounds
+    differently under the different vectorization width — tested in
+    ``tests/test_integration_batch.py``)."""
+
+    AXIS = "instances"
+
+    def __init__(self, problem, params=None, mesh=None):
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        self.batched = BatchedIntegrationSolver(problem, params)
+        self.params = self.batched.params
+        if mesh is None:
+            mesh = Mesh(_np.array(jax.devices()), (self.AXIS,))
+        self.mesh = mesh
+        self.num_devices = mesh.devices.size
+        self._P = P
+        self._NamedSharding = NamedSharding
+
+        chunk_fn = self.batched._chunk_fn
+        budget = int(self.params.integration_chunk)
+
+        def local_chunk(states):
+            return jax.vmap(lambda s: chunk_fn(s, budget))(states)
+
+        spec = P(self.AXIS)
+
+        def specs_like(tree):
+            return jax.tree_util.tree_map(lambda _: spec, tree)
+
+        self._local_chunk = local_chunk
+        self._spec = spec
+        self._specs_like = specs_like
+        self._run = None  # built lazily once the state structure is known
+
+    def solve(self, x0s, y0s=None) -> BatchedIntegrationResult:
+        params = self.params
+        batched = self.batched
+        x0s = jnp.asarray(x0s, dtype=params.dtype)
+        B = x0s.shape[0]
+        nd = self.num_devices
+        assert B % nd == 0, (
+            f"batch size {B} must be divisible by the mesh size {nd} "
+            "(pad the batch)"
+        )
+        if y0s is None:
+            y0s = jnp.zeros(
+                (B, batched.inner.orig_problem.num_cons), dtype=params.dtype
+            )
+        else:
+            y0s = jnp.asarray(y0s, dtype=params.dtype)
+
+        states = batched._init(x0s, y0s)
+        sharding = self._NamedSharding(self.mesh, self._spec)
+        states = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), states
+        )
+        if self._run is None:
+            self._run = jax.jit(
+                jax.shard_map(
+                    self._local_chunk,
+                    mesh=self.mesh,
+                    in_specs=(self._specs_like(states),),
+                    out_specs=self._specs_like(states),
+                    # per-shard work only (no collectives); skip the
+                    # varying-manual-axes checker, which rejects
+                    # replicated constants created inside lax control flow
+                    check_vma=False,
+                )
+            )
+
+        timer = Timer(params.time_limit)
+        while True:
+            states = self._run(states)
+            if not bool(jnp.any(states["status"] == RUNNING)):
+                break
+            if timer.reached_time_limit():
+                states = dict(
+                    states,
+                    status=jnp.where(
+                        states["status"] == RUNNING,
+                        int(SolverStatus.TimeLimit),
+                        states["status"],
+                    ),
+                )
+                break
+
+        xr, yr, dr = jax.device_get(batched._post(states["z"]))
+        return BatchedIntegrationResult(
+            x=xr,
+            y=yr,
+            d=dr,
+            status=np.asarray(states["status"], dtype=np.int32),
+            iterations=np.asarray(states["iteration"], dtype=np.int32),
+            rho=np.asarray(states["rho"]),
+            num_integration_steps=np.asarray(states["steps"], dtype=np.int32),
+            num_newton_steps=np.asarray(states["newtons"], dtype=np.int32),
+        )
+
+
 class BatchedIntegrationSolver:
     """Solves a batch of instances of ONE problem with the continuous
     engine, fully on device."""

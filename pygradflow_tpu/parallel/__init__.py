@@ -7,3 +7,4 @@ from .distributed import (  # noqa: F401
 )
 from .multistart import MultistartResult, multistart_solve  # noqa: F401
 from .shard import ShardedSolver  # noqa: F401
+from ..integration.batch import ShardedIntegrationSolver  # noqa: F401

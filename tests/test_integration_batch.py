@@ -159,3 +159,28 @@ def test_device_loop_finite_time_limit_chunked():
         inst.problem, Params(**base, time_limit=1e-9, integration_chunk=8)
     ).solve(inst.x_0, inst.y_0)
     assert cut.status == SolverStatus.TimeLimit
+
+
+def test_sharded_integration_matches_batched():
+    """ShardedIntegrationSolver over the 8-device CPU mesh reproduces the
+    single-chip batched engine lane for lane: statuses and solutions
+    match; segment counts may differ by one where a borderline event
+    crossing rounds differently under the different vectorization width
+    (1 lane per device vs an 8-wide vmap)."""
+    from pygradflow_tpu.integration import ShardedIntegrationSolver
+
+    inst = hs71_instance()
+    params = _params()
+    rng = np.random.default_rng(11)
+    lo = np.array([1.0, 1.0, 1.0, 1.0, 0.0])
+    hi = np.array([5.0, 5.0, 5.0, 5.0, 2.0])
+    x0s = np.clip(inst.x_0[None, :] + rng.uniform(-0.1, 0.1, (8, 5)), lo, hi)
+    y0s = np.tile(inst.y_0, (8, 1))
+
+    batched = BatchedIntegrationSolver(inst.problem, params).solve(x0s, y0s)
+    sharded = ShardedIntegrationSolver(inst.problem, params).solve(x0s, y0s)
+
+    np.testing.assert_array_equal(sharded.status, batched.status)
+    assert np.abs(sharded.iterations - batched.iterations).max() <= 1
+    np.testing.assert_allclose(sharded.x, batched.x, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(sharded.y, batched.y, rtol=0, atol=1e-5)
