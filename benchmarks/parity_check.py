@@ -193,6 +193,10 @@ for prob in [
     # clean engineering/equilibrium problems
     "hs13", "hs19", "hs25", "hs32", "hs61", "hs62", "hs72", "hs73",
     "hs80", "hs81", "hs106", "hs110", "hs111", "hs118",
+    # round-4 batch 2: the engineering quintet (hs104: both sides stall
+    # identically at default scaling and solve with GradJac scaling —
+    # counted as both-fail status parity here)
+    "hs83", "hs86", "hs104", "hs108", "hs112",
 ]:
     from pygradflow_tpu.runners.hs import HS_BY_NAME as _HS
 

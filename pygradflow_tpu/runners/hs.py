@@ -1440,6 +1440,178 @@ HS_SPECS = [
         ),
         f_opt=664.8204500,
     ),
+    # ---- round-4 batch 2: the classic engineering quintet (book
+    # formulations; verification is book optimum where quoted precisely,
+    # reference parity otherwise)
+    HSSpec(
+        # Himmelblau's process-design problem: quadratic objective,
+        # three ranged quadratic constraints with empirical coefficients
+        name="hs83",
+        obj=lambda x: (
+            5.3578547 * x[2] ** 2
+            + 0.8356891 * x[0] * x[4]
+            + 37.293239 * x[0]
+            - 40792.141
+        ),
+        var_lb=_a(78.0, 33.0, 27.0, 27.0, 27.0),
+        var_ub=_a(102.0, 45.0, 45.0, 45.0, 45.0),
+        x0=_a(78.0, 33.0, 27.0, 27.0, 27.0),
+        cons=lambda x: jnp.array(
+            [
+                85.334407 + 0.0056858 * x[1] * x[4]
+                + 0.0006262 * x[0] * x[3] - 0.0022053 * x[2] * x[4],
+                80.51249 + 0.0071317 * x[1] * x[4]
+                + 0.0029955 * x[0] * x[1] + 0.0021813 * x[2] ** 2,
+                9.300961 + 0.0047026 * x[2] * x[4]
+                + 0.0012547 * x[0] * x[2] + 0.0019085 * x[2] * x[3],
+            ]
+        ),
+        cons_lb=_a(0.0, 90.0, 20.0),
+        cons_ub=_a(92.0, 110.0, 25.0),
+        x_opt=_a(78.0, 33.0, 29.9952560, 45.0, 36.7758129),
+        f_opt=-30665.53867,
+    ),
+    HSSpec(
+        # Colville No.1: cubic-polynomial objective over 10 linear
+        # inequalities (dense data tables)
+        name="hs86",
+        obj=lambda x: (
+            jnp.array([-15.0, -27.0, -36.0, -18.0, -12.0]) @ x
+            + x
+            @ jnp.array(
+                [
+                    [30.0, -20.0, -10.0, 32.0, -10.0],
+                    [-20.0, 39.0, -6.0, -31.0, 32.0],
+                    [-10.0, -6.0, 10.0, -6.0, -10.0],
+                    [32.0, -31.0, -6.0, 39.0, -20.0],
+                    [-10.0, 32.0, -10.0, -20.0, 30.0],
+                ]
+            )
+            @ x
+            + jnp.array([4.0, 8.0, 10.0, 6.0, 2.0]) @ x**3
+        ),
+        var_lb=np.zeros(5),
+        var_ub=np.full(5, INF),
+        x0=_a(0.0, 0.0, 0.0, 0.0, 1.0),
+        cons=lambda x: jnp.array(
+            [
+                [-16.0, 2.0, 0.0, 1.0, 0.0],
+                [0.0, -2.0, 0.0, 0.4, 2.0],
+                [-3.5, 0.0, 2.0, 0.0, 0.0],
+                [0.0, -2.0, 0.0, -4.0, -1.0],
+                [0.0, -9.0, -2.0, 1.0, -2.8],
+                [2.0, 0.0, -4.0, 0.0, 0.0],
+                [-1.0, -1.0, -1.0, -1.0, -1.0],
+                [-1.0, -2.0, -3.0, -2.0, -1.0],
+                [1.0, 2.0, 3.0, 4.0, 5.0],
+                [1.0, 1.0, 1.0, 1.0, 1.0],
+            ]
+        )
+        @ x,
+        cons_lb=_a(-40.0, -2.0, -0.25, -4.0, -4.0, -1.0, -40.0, -60.0, 5.0, 1.0),
+        cons_ub=np.full(10, INF),
+        x_opt=_a(0.3, 0.33346761, 0.4, 0.42831010, 0.22396487),
+        f_opt=-32.34867897,
+    ),
+    HSSpec(
+        # alkylation-reactor design: fractional powers, a ranged
+        # constraint on the objective expression itself.  At default
+        # scaling BOTH sides stall at the ranged constraint's upper end
+        # (IterationLimit at f=4.1978, identical); with GradJac scaling
+        # both solve it (ours 33 its / reference 31, f=3.951163 = book),
+        # and with equilibrated-KKT scaling ours solves in 25 its where
+        # the reference hits its iteration limit (same pattern as hs106)
+        name="hs104",
+        obj=lambda x: (
+            0.4 * x[0] ** 0.67 * x[6] ** (-0.67)
+            + 0.4 * x[1] ** 0.67 * x[7] ** (-0.67)
+            + 10.0 - x[0] - x[1]
+        ),
+        var_lb=np.full(8, 0.1),
+        var_ub=np.full(8, 10.0),
+        x0=_a(6.0, 3.0, 0.4, 0.2, 6.0, 6.0, 1.0, 0.5),
+        cons=lambda x: jnp.array(
+            [
+                1.0 - 0.0588 * x[4] * x[6] - 0.1 * x[0],
+                1.0 - 0.0588 * x[5] * x[7] - 0.1 * x[0] - 0.1 * x[1],
+                1.0 - 4.0 * x[2] / x[4] - 2.0 / (x[2] ** 0.71 * x[4])
+                - 0.0588 * x[6] / x[2] ** 1.3,
+                1.0 - 4.0 * x[3] / x[5] - 2.0 / (x[3] ** 0.71 * x[5])
+                - 0.0588 * x[7] / x[3] ** 1.3,
+                0.4 * x[0] ** 0.67 * x[6] ** (-0.67)
+                + 0.4 * x[1] ** 0.67 * x[7] ** (-0.67)
+                + 10.0 - x[0] - x[1],
+            ]
+        ),
+        cons_lb=_a(0.0, 0.0, 0.0, 0.0, 1.0),
+        cons_ub=_a(INF, INF, INF, INF, 4.2),
+        f_opt=3.9511634396,
+    ),
+    HSSpec(
+        # maximal hexagon area in a unit-diameter set: strongly nonconvex
+        # with many symmetric local optima — verification is parity, both
+        # sides starting from the book point
+        name="hs108",
+        obj=lambda x: -0.5
+        * (
+            x[0] * x[3] - x[1] * x[2] + x[2] * x[8] - x[4] * x[8]
+            + x[4] * x[7] - x[5] * x[6]
+        ),
+        var_lb=np.concatenate([np.full(8, -INF), _a(0.0)]),
+        var_ub=np.full(9, INF),
+        x0=np.ones(9),
+        cons=lambda x: jnp.array(
+            [
+                1.0 - x[2] ** 2 - x[3] ** 2,
+                1.0 - x[8] ** 2,
+                1.0 - x[4] ** 2 - x[5] ** 2,
+                1.0 - x[0] ** 2 - (x[1] - x[8]) ** 2,
+                1.0 - (x[0] - x[4]) ** 2 - (x[1] - x[5]) ** 2,
+                1.0 - (x[0] - x[6]) ** 2 - (x[1] - x[7]) ** 2,
+                1.0 - (x[2] - x[4]) ** 2 - (x[3] - x[5]) ** 2,
+                1.0 - (x[2] - x[6]) ** 2 - (x[3] - x[7]) ** 2,
+                1.0 - x[6] ** 2 - (x[7] - x[8]) ** 2,
+                x[0] * x[3] - x[1] * x[2],
+                x[2] * x[8],
+                -x[4] * x[8],
+                x[4] * x[7] - x[5] * x[6],
+            ]
+        ),
+        cons_lb=np.zeros(13),
+        cons_ub=np.full(13, INF),
+        f_opt=-0.8660254038,
+    ),
+    HSSpec(
+        # chemical equilibrium in mole numbers — the linear-constraint
+        # form of hs111 (the book quotes f* = -47.707579 from a
+        # lower-precision solution; the true optimum matches hs111's
+        # -47.76109086, which both this framework and the reference reach)
+        name="hs112",
+        obj=lambda x: jnp.sum(
+            x
+            * (
+                jnp.array(
+                    [
+                        -6.089, -17.164, -34.054, -5.914, -24.721,
+                        -14.986, -24.100, -10.708, -26.662, -22.179,
+                    ]
+                )
+                + jnp.log(x / jnp.sum(x))
+            )
+        ),
+        var_lb=np.full(10, 1e-6),
+        var_ub=np.full(10, INF),
+        x0=np.full(10, 0.1),
+        cons=lambda x: jnp.array(
+            [
+                x[0] + 2.0 * x[1] + 2.0 * x[2] + x[5] + x[9] - 2.0,
+                x[3] + 2.0 * x[4] + x[5] + x[6] - 1.0,
+                x[2] + x[6] + x[7] + 2.0 * x[8] + x[9] - 1.0,
+            ]
+        ),
+        num_eq_cons=3,
+        f_opt=-47.76109086,
+    ),
 ]
 
 HS_BY_NAME = {spec.name: spec for spec in HS_SPECS}

@@ -18,6 +18,7 @@ HS_QUICK = [
     "hs48", "hs49", "hs50", "hs51", "hs52", "hs53", "hs76", "hs77",
     # round-4 additions with clean convergence to the book optimum
     "hs19", "hs32", "hs61", "hs73", "hs80", "hs110", "hs111", "hs118",
+    "hs83", "hs86", "hs108", "hs112",
     # hs20 is excluded: from the clipped start the flow converges to the
     # symmetric local KKT point at x1=-0.5 (f = book f_opt + 2);
     # hs13/hs25/hs72/hs81/hs106 are excluded here because their verified

@@ -138,15 +138,25 @@ def test_custom_step_solver_injection():
     assert calls  # the injected solver was actually used (at trace time)
 
 
-def test_scaling_rescues_hs106():
-    """Heat-exchanger design (hs106): unsolvable at default scaling for
-    BOTH this framework and the reference (which aborts at its lambda
-    limit), solved by the equilibrated-KKT scaling in ~180 iterations —
-    the reference at the same setting hits its iteration limit (measured
-    round 4; GradJac solves on both sides: ours 362 its, reference 659)."""
+@pytest.mark.parametrize(
+    "name,f_expect,f_tol",
+    [
+        # optimality is at the SCALED tolerance: f lands within ~0.1 of
+        # the book value (the reference behaves identically under its
+        # own scaling where it converges at all)
+        ("hs106", 7049.330923, 0.5),
+        ("hs104", 3.9511634, 1e-3),
+    ],
+)
+def test_scaling_rescues(name, f_expect, f_tol):
+    """Problems unsolvable at default scaling for BOTH this framework and
+    the reference (hs106: reference aborts at its lambda limit; hs104:
+    both stall at the ranged constraint), solved by the equilibrated-KKT
+    scaling — the reference at the same setting hits its iteration limit
+    on both (measured round 4; GradJac solves them on both sides)."""
     from pygradflow_tpu.runners.hs import HS_BY_NAME
 
-    spec = HS_BY_NAME["hs106"]
+    spec = HS_BY_NAME[name]
     params = Params(
         iteration_limit=2000,
         scaling_type=ScalingType.KKT,
@@ -156,10 +166,7 @@ def test_scaling_rescues_hs106():
     result = Solver(spec.problem(), params).solve(spec.x0)
     assert result.success
     f = float(spec.problem().obj(jnp.asarray(np.asarray(result.x))))
-    # optimality is at the SCALED tolerance: f lands within ~0.1 of the
-    # book value 7049.33 (the reference behaves identically under its
-    # own scaling)
-    assert abs(f - 7049.330923) < 0.5
+    assert abs(f - f_expect) < f_tol
 
 
 def test_scaling_accelerates_hs62():
