@@ -194,15 +194,26 @@ class DistributedSolver(ShardedSolver):
         if data is not None:
             data = jax.tree_util.tree_map(globalize, data_loc)
 
-        run = jax.jit(
-            jax.shard_map(
-                self._shard_chunk,
-                mesh=self.mesh,
-                in_specs=(self._specs_like(states), self._specs_like(data)),
-                out_specs=self._specs_like(states),
-                check_vma=False,
-            )
+        # cache the jitted shard_map per argument structure (a fresh
+        # closure per solve() defeats the jit cache and recompiles every
+        # call — see parallel/shard.py)
+        key = (
+            jax.tree_util.tree_structure(states),
+            jax.tree_util.tree_structure(data),
+            jax.tree_util.tree_map(lambda a: a.shape, states),
         )
+        run = self._runs.get(key)
+        if run is None:
+            run = jax.jit(
+                jax.shard_map(
+                    self._shard_chunk,
+                    mesh=self.mesh,
+                    in_specs=(self._specs_like(states), self._specs_like(data)),
+                    out_specs=self._specs_like(states),
+                    check_vma=False,
+                )
+            )
+            self._runs[key] = run
 
         # every process must iterate in lockstep: the continuation vote is
         # a collective over the global status array, replicated to all
