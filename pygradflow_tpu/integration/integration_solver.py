@@ -354,11 +354,23 @@ class IntegrationSolver:
                 self.cfg, self.fns, self.lb, self.ub, params
             )
             budget = int(params.integration_chunk)
+
+            def post_fn(state):
+                xr, yr = fl.split(self.ctx, state["z"])
+                it = evaluate_iterate(self.fns, xr, yr)
+                d = bounds_dual(it, self.lb, self.ub, params.active_tol)
+                return (
+                    it.x, it.y, d, state["path_dist"], state["iteration"],
+                    state["steps"], state["newtons"], state["rho"],
+                )
+
+            # all three jitted ONCE (a fresh jit per call re-traces)
             self._flat = (
                 jax.jit(init_fn),
                 jax.jit(lambda s: chunk_fn(s, budget)),
+                jax.jit(post_fn),
             )
-        init_fn, run_chunk = self._flat
+        init_fn, run_chunk, post_jit = self._flat
 
         state = init_fn(x, y)
         status = int(SolverStatus.TimeLimit)
@@ -371,17 +383,8 @@ class IntegrationSolver:
                 status = int(SolverStatus.TimeLimit)
                 break
 
-        def post(state):
-            xr, yr = fl.split(self.ctx, state["z"])
-            it = evaluate_iterate(self.fns, xr, yr)
-            d = bounds_dual(it, self.lb, self.ub, params.active_tol)
-            return (
-                it.x, it.y, d, state["path_dist"], state["iteration"],
-                state["steps"], state["newtons"], state["rho"],
-            )
-
         xf, yf, d, path_dist, iters, steps, newtons, rho = jax.device_get(
-            jax.jit(post)(state)
+            post_jit(state)
         )
 
         (xr, yr, dr) = self.transform.restore_sol(xf, yf, d)

@@ -132,6 +132,29 @@ class BatchedSolver:
 
         self._run = jax.jit(self._run_chunk, static_argnums=(2,))
 
+        # jitted init/finalize are built ONCE: constructing a fresh
+        # closure per solve() defeats jax's jit cache and re-traces (and
+        # through the TPU tunnel, re-lowers) on every call — the same bug
+        # that cost the sharded sweep 4.9x (parallel/shard.py)
+        if self.parametric:
+
+            def _init_vm(x, y, d):
+                xt, yt = self._transform_initial(x, y, d)
+                return self._init_one(xt, yt, d)
+
+            self._init_jit = jax.jit(jax.vmap(_init_vm))
+            self._finalize_jit = jax.jit(jax.vmap(self._finalize_one))
+        else:
+
+            def _init_vm(x, y):
+                xt, yt = self._transform_initial(x, y, None)
+                return self._init_one(xt, yt, None)
+
+            self._init_jit = jax.jit(jax.vmap(_init_vm))
+            self._finalize_jit = jax.jit(
+                jax.vmap(lambda s: self._finalize_one(s, None))
+            )
+
     # ------------------------------------------------------------------
 
     def _bind(self, data):
@@ -189,19 +212,9 @@ class BatchedSolver:
 
         if self.parametric:
             assert data is not None, "ParametricProblem requires batched data"
-
-            def init_one(x, y, d):
-                xt, yt = self._transform_initial(x, y, d)
-                return self._init_one(xt, yt, d)
-
-            states = jax.jit(jax.vmap(init_one))(x0, y0, data)
+            states = self._init_jit(x0, y0, data)
         else:
-
-            def init_one(x, y):
-                xt, yt = self._transform_initial(x, y, None)
-                return self._init_one(xt, yt, None)
-
-            states = jax.jit(jax.vmap(init_one))(x0, y0)
+            states = self._init_jit(x0, y0)
 
         timer = Timer(params.time_limit)
         compact = self.compact
@@ -334,28 +347,30 @@ class BatchedSolver:
             y = transform.scaling.scale_dual(y)
         return transform.trans_problem.transform_sol(x, y)
 
+    def _finalize_one(self, state, d):
+        self._bind(d)
+        loop = self.loop
+        params = self.params
+        it = state.it
+        dual = bounds_dual(it, loop.lb, loop.ub, params.active_tol, loop.fns)
+        (x, y, dd) = self.transform.restore_sol(it.x, it.y, dual)
+        return (
+            x,
+            y,
+            dd,
+            total_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
+            cons_violation(it),
+            stat_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
+        )
+
     def _collect(self, states, data) -> BatchResult:
         loop = self.loop
         params = self.params
 
-        def finalize(state, d):
-            self._bind(d)
-            it = state.it
-            dual = bounds_dual(it, loop.lb, loop.ub, params.active_tol, loop.fns)
-            (x, y, dd) = self.transform.restore_sol(it.x, it.y, dual)
-            return (
-                x,
-                y,
-                dd,
-                total_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
-                cons_violation(it),
-                stat_res(it, loop.lb, loop.ub, params.active_tol, loop.fns),
-            )
-
         if self.parametric:
-            outs = jax.jit(jax.vmap(finalize))(states, data)
+            outs = self._finalize_jit(states, data)
         else:
-            outs = jax.jit(jax.vmap(lambda s: finalize(s, None)))(states)
+            outs = self._finalize_jit(states)
 
         (x, y, d, tres, cviol, sres) = outs
         return BatchResult(

@@ -38,6 +38,15 @@ from ..problem import Problem
 from .shard import AXIS, ShardedSolver
 
 
+@jax.jit
+def _any_running(status):
+    import jax.numpy as jnp
+
+    from ..status import RUNNING
+
+    return jnp.any(status == RUNNING)
+
+
 class DistributedInfo(NamedTuple):
     process_id: int
     num_processes: int
@@ -165,23 +174,14 @@ class DistributedSolver(ShardedSolver):
             else None
         )
 
-        # init the local rows on local devices, then stitch into global
-        # arrays spanning the full mesh
+        # init the local rows on local devices (via the batched solver's
+        # CACHED jitted init — per-call closures re-trace every solve),
+        # then stitch into global arrays spanning the full mesh
         if batched.parametric:
             assert data is not None
-
-            def init_one(x, y, d):
-                xt, yt = batched._transform_initial(x, y, d)
-                return batched._init_one(xt, yt, d)
-
-            states_loc = jax.jit(jax.vmap(init_one))(x_loc, y_loc, data_loc)
+            states_loc = batched._init_jit(x_loc, y_loc, data_loc)
         else:
-
-            def init_one(x, y):
-                xt, yt = batched._transform_initial(x, y, None)
-                return batched._init_one(xt, yt, None)
-
-            states_loc = jax.jit(jax.vmap(init_one))(x_loc, y_loc)
+            states_loc = batched._init_jit(x_loc, y_loc)
 
         sharding = NamedSharding(self.mesh, self._spec)
 
@@ -217,7 +217,6 @@ class DistributedSolver(ShardedSolver):
 
         # every process must iterate in lockstep: the continuation vote is
         # a collective over the global status array, replicated to all
-        any_running = jax.jit(lambda s: jnp.any(s == RUNNING))
 
         from jax.experimental import multihost_utils
 
@@ -225,7 +224,7 @@ class DistributedSolver(ShardedSolver):
         has_time_limit = np.isfinite(params.time_limit)
         while True:
             states = run(states, data)
-            if not bool(any_running(states.status)):
+            if not bool(_any_running(states.status)):
                 break
             # the stop decision must be collectively consistent: clock /
             # start skew could make one host break with TimeLimit while

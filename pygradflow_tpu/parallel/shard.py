@@ -105,22 +105,14 @@ class ShardedSolver:
         else:
             y0 = jnp.asarray(y0, dtype=params.dtype)
 
-        # initialize states (vmapped, unsharded), then shard
+        # initialize states (vmapped, unsharded, via the batched solver's
+        # CACHED jitted init — per-call closures re-trace every solve),
+        # then shard
         if batched.parametric:
             assert data is not None
-
-            def init_one(x, y, d):
-                xt, yt = batched._transform_initial(x, y, d)
-                return batched._init_one(xt, yt, d)
-
-            states = jax.jit(jax.vmap(init_one))(x0, y0, data)
+            states = batched._init_jit(x0, y0, data)
         else:
-
-            def init_one(x, y):
-                xt, yt = batched._transform_initial(x, y, None)
-                return batched._init_one(xt, yt, None)
-
-            states = jax.jit(jax.vmap(init_one))(x0, y0)
+            states = batched._init_jit(x0, y0)
 
         sharding = NamedSharding(self.mesh, self._spec)
         states = jax.tree_util.tree_map(
