@@ -223,7 +223,10 @@ def main():
 
     from baseline_cache import ART, load_baseline, write_artifact
 
-    artifact = "r3_control.json" if N == 256 else f"r3_control_{N}.json"
+    artifact = os.environ.get(
+        "BENCH_ARTIFACT",
+        "r4_control.json" if N == 256 else f"r4_control_{N}.json",
+    )
 
     # merge with a prior partial run (--tiers chunks the sweep so each
     # invocation stays inside the watchdog budget)
