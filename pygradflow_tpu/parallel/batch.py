@@ -364,9 +364,6 @@ class BatchedSolver:
         )
 
     def _collect(self, states, data) -> BatchResult:
-        loop = self.loop
-        params = self.params
-
         if self.parametric:
             outs = self._finalize_jit(states, data)
         else:
