@@ -61,6 +61,12 @@ def main():
               f"newtons={newtons[i]} status={res.status[i]} rho={res.rho[i]:g}")
 
     # replay the worst lane on the host event loop with per-segment rows
+    # (display rows go through the package logger -> route to stdout)
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(message)s", stream=sys.stdout
+    )
     worst = int(order[0])
     print(f"\n--- replaying lane {worst} via host event loop ---")
     from dataclasses import replace
