@@ -167,3 +167,25 @@ def test_multistart_finds_global():
         np.allclose(res.x, opt, atol=1e-5) for opt in (TARGET_X0, TARGET_X1)
     )
     assert res.obj < 1e-8
+
+
+def test_jitted_callables_reused_across_solves():
+    """Round-4 regression guard: BatchedSolver/ShardedSolver must NOT
+    rebuild jitted closures per solve() — jax's jit cache keys on
+    function identity, and per-call closures re-trace everything
+    (measured: a third of the f64 headline wall, and 4.9x on the
+    shard_map path)."""
+    problem = Rosenbrock()
+    params = Params()
+    x0s = np.array([[0.0, 0.0], [0.5, -0.3]])
+
+    b = BatchedSolver(problem, params, compact=False)
+    b.solve(x0s)
+    b.solve(x0s)
+    assert b._init_jit._cache_size() == 1
+    assert b._finalize_jit._cache_size() == 1
+
+    s = ShardedSolver(problem, params)
+    s.solve(np.tile(x0s, (4, 1)))
+    s.solve(np.tile(x0s, (4, 1)))
+    assert len(s._runs) == 1
