@@ -277,7 +277,13 @@ class Params:
     """Maximum inner Newton iterations of the Exact controller."""
 
     integration_method: IntegrationMethod = IntegrationMethod.TRBDF2
-    """One-step method of the IntegrationSolver's segment integrator."""
+    """One-step method of the IntegrationSolver's segment integrator.
+    TR-BDF2 (order 2) is the parity default — it reproduces the
+    reference's event/segment sequences exactly.  Prefer SDIRK4 (order
+    4) for perturbed/batched sweeps: its creep-phase step cost scales as
+    (scale/tol)^(1/5) vs TR-BDF2's ^(1/3), and a rare start whose rho
+    ladder climbs to 1e7 can cost TR-BDF2 tens of thousands of steps
+    where SDIRK4 needs ~1.5k (PARITY.md residual-envelope note)."""
 
     integration_rtol: float = 1e-6
     integration_atol: float = 1e-9
