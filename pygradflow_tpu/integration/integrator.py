@@ -199,9 +199,14 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
     cand_x = z + (1.0 / TRBDF2_GAMMA) * (w1 - z)
     r_f = jnp.linalg.norm(res2(cand_f))
     r_x = jnp.linalg.norm(res2(cand_x))
-    w_init = jnp.where(
-        jnp.logical_and(jnp.all(jnp.isfinite(r_x)), r_x < r_f), cand_x, cand_f
+    # pick cand_x when its residual is finite AND (smaller than r_f OR
+    # r_f itself is non-finite) — a NaN r_f makes `r_x < r_f` False, and
+    # without the second clause a usable extrapolation predictor would be
+    # discarded exactly in the stiff/overflow regime it targets
+    better_x = jnp.logical_and(
+        jnp.isfinite(r_x), jnp.logical_or(r_x < r_f, ~jnp.isfinite(r_f))
     )
+    w_init = jnp.where(better_x, cand_x, cand_f)
     w, ok2, it2 = newton(res2, w_init)
     fw = fl.rhs(ctx, w, rho, filter)
 
@@ -260,8 +265,10 @@ def sdirk4_step(ctx, z, h, rho, filter, rtol, atol):
             cand_x = z + (c_nodes[i] / c_nodes[i - 1]) * (y_prev - z)
             r_f = jnp.linalg.norm(res_fn(cand_f))
             r_x = jnp.linalg.norm(res_fn(cand_x))
+            # finite r_x wins on a non-finite r_f too (see trbdf2_step)
             better_x = jnp.logical_and(
-                jnp.all(jnp.isfinite(r_x)), r_x < r_f
+                jnp.isfinite(r_x),
+                jnp.logical_or(r_x < r_f, ~jnp.isfinite(r_f)),
             )
             w_init = jnp.where(better_x, cand_x, cand_f)
         y_i, ok_i, it_i = newton(res_fn, w_init)

@@ -132,6 +132,24 @@ class BatchedSolver:
 
         self._run = jax.jit(self._run_chunk, static_argnums=(2,))
 
+        # compaction helpers built ONCE for the same reason as
+        # _init_jit/_finalize_jit below: fresh @jax.jit closures per
+        # solve() would re-trace on every call (jit caches on function
+        # identity), ~30 ms+ per dispatch through the TPU tunnel
+        def _archive_scatter(archive, states, orig_idx):
+            return jax.tree_util.tree_map(
+                lambda a, c: a.at[orig_idx].set(c, mode="drop"), archive, states
+            )
+
+        def _shrink(states, cur_data, orig_idx, gather):
+            states = jax.tree_util.tree_map(lambda a: a[gather], states)
+            if cur_data is not None:
+                cur_data = jax.tree_util.tree_map(lambda a: a[gather], cur_data)
+            return states, cur_data, orig_idx[gather]
+
+        self._archive_scatter_jit = jax.jit(_archive_scatter)
+        self._shrink_jit = jax.jit(_shrink)
+
         # jitted init/finalize are built ONCE: constructing a fresh
         # closure per solve() defeats jax's jit cache and re-traces (and
         # through the TPU tunnel, re-lowers) on every call — the same bug
@@ -267,18 +285,8 @@ class BatchedSolver:
             jax.tree_util.tree_map(jnp.asarray, data) if self.parametric else None
         )
 
-        @jax.jit
-        def _archive_scatter(archive, states, orig_idx):
-            return jax.tree_util.tree_map(
-                lambda a, c: a.at[orig_idx].set(c, mode="drop"), archive, states
-            )
-
-        @jax.jit
-        def _shrink(states, cur_data, orig_idx, gather):
-            states = jax.tree_util.tree_map(lambda a: a[gather], states)
-            if cur_data is not None:
-                cur_data = jax.tree_util.tree_map(lambda a: a[gather], cur_data)
-            return states, cur_data, orig_idx[gather]
+        _archive_scatter = self._archive_scatter_jit
+        _shrink = self._shrink_jit
 
         archive = states  # full-B buffer, overwritten by scatters
         orig_idx = jnp.arange(B)
