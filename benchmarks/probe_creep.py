@@ -62,7 +62,9 @@ def main():
     rtol, atol = params.integration_rtol, params.integration_atol
 
     step = jax.jit(
-        lambda z, h, rho, filt: sdirk4_step(ctx, z, h, rho, filt, rtol, atol)
+        lambda z, h, rho, filt, hz, hh: sdirk4_step(
+            ctx, z, h, rho, filt, rtol, atol, (hz, hh)
+        )
     )
     residuum = jax.jit(fl.residuum, static_argnums=0)
 
@@ -90,8 +92,9 @@ def main():
         h = 1e-4
         h_cap = np.inf
         hist = []
+        hist_z, hist_h = z, 0.0
         while steps < 30000:
-            w, ok, its, est = step(z, h, rho, filt)
+            w, ok, its, est = step(z, h, rho, filt, hist_z, hist_h)
             err_ratio = float(_scaled_norm(est, w, rtol, atol))
             accept = bool(ok) and err_ratio <= 1.0
             new_vals = ev.event_values(cfg, w, rho, filt, grad_dirs)
@@ -115,6 +118,7 @@ def main():
                 t += h
                 break
             if accept:
+                hist_z, hist_h = z, h
                 z, t = w, t + h
                 vals = new_vals
             h = max(min(h * factor, h_cap), 1e-14)

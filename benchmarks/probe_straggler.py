@@ -78,8 +78,7 @@ def main():
     )
     r = single.solve(x0s[worst], y0s[worst])
     print(f"host loop: status={r.status.name} segments={r.iterations} "
-          f"steps={r.num_integration_steps} newtons={r.num_newton_steps} "
-          f"rho={float(r.rho):g}")
+          f"steps={r.num_integration_steps} newtons={r.num_newton_steps}")
 
 
 if __name__ == "__main__":

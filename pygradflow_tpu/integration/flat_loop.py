@@ -81,18 +81,18 @@ def make_flat_loop(cfg, fns, lb, ub, params):
     method = params.integration_method
 
     if method == IntegrationMethod.SDIRK4:
-        step_full = lambda z, h, rho, filt: sdirk4_step(  # noqa: E731
-            ctx, z, h, rho, filt, rtol, atol
+        step_full = lambda z, h, rho, filt, hist: sdirk4_step(  # noqa: E731
+            ctx, z, h, rho, filt, rtol, atol, hist
         )
         err_exponent = -1.0 / 4.0
     elif method == IntegrationMethod.TRBDF2:
-        step_full = lambda z, h, rho, filt: trbdf2_step(  # noqa: E731
-            ctx, z, h, rho, filt, rtol, atol
+        step_full = lambda z, h, rho, filt, hist: trbdf2_step(  # noqa: E731
+            ctx, z, h, rho, filt, rtol, atol, hist
         )
         err_exponent = -1.0 / 3.0
     else:
 
-        def step_full(z, h, rho, filt):
+        def step_full(z, h, rho, filt, hist=None):
             """Step-doubled implicit Euler in the (w, ok, iters, est) API:
             est derived from the Richardson difference."""
             w_full, ok1, n1 = implicit_euler_step(ctx, z, h, rho, filt, rtol, atol)
@@ -162,6 +162,10 @@ def make_flat_loop(cfg, fns, lb, ub, params):
             seg_t_end=c["t"] + 1e10,
             seg_z0=z,
             seg_steps=jnp.zeros((), jnp.int32),
+            # the nested engine starts every run_segment call with no
+            # predictor history (t_prev == t0); mirror that here so the
+            # flat engine's step sequence matches decision for decision
+            hist_h=jnp.zeros_like(c["hist_h"]),
         )
 
     def _masked(c_new, c_old, mask):
@@ -207,6 +211,9 @@ def make_flat_loop(cfg, fns, lb, ub, params):
             bis_i=zero_i,
             z_end=z,
             vals_end=jnp.zeros((n_ev,), dt),
+            # cross-step predictor history (h <= 0 marks no-history)
+            hist_z=z,
+            hist_h=jnp.zeros((), dt),
         )
         return _transition(c)
 
@@ -242,7 +249,11 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         # frozen lanes / zero brackets: keep the kernel numerically alive
         h_in = jnp.maximum(h_in, 1e-300)
 
-        w, ok, n_newton, est = step_full(z_in, h_in, rho, filt)
+        # the step kernel's cross-step history only applies to STEP-mode
+        # lanes (bisection probes re-step from the bracket start, not
+        # from the accepted trajectory point the history is relative to)
+        hist = (c["hist_z"], jnp.where(do_bis, 0.0, c["hist_h"]))
+        w, ok, n_newton, est = step_full(z_in, h_in, rho, filt, hist)
         new_vals = ev.event_values(cfg, w, rho, filt, c["grad_dirs"])
 
         # ---- STEP-mode update (mirrors make_segment_runner.body)
@@ -283,6 +294,8 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         cs["t"] = jnp.where(adv, t_new, c["t"])
         cs["z"] = jnp.where(adv, w, c["z"])
         cs["vals"] = jnp.where(adv, new_vals, c["vals"])
+        cs["hist_z"] = jnp.where(adv, c["z"], c["hist_z"])
+        cs["hist_h"] = jnp.where(adv, h_in, c["hist_h"])
         # entering bisection: bracket [t, t_new] from the accepted state
         cs["bis_t_lo"] = jnp.where(ev_enter, c["t"], c["bis_t_lo"])
         cs["bis_z_lo"] = jnp.where(ev_enter, c["z"], c["bis_z_lo"])
@@ -339,6 +352,7 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         ca["t"] = t_ev
         ca["z"] = z_ev
         ca["h"] = jnp.full_like(c["h"], 1e-4)
+        ca["hist_h"] = jnp.zeros_like(c["hist_h"])  # flow changed at the event
         ca["iteration"] = c["iteration"] + 1
 
         it_ev = evaluate_iterate(fns, x_ev, y_ev)

@@ -71,6 +71,67 @@ def _scaled_norm(v, ref, rtol, atol):
     return jnp.sqrt(jnp.mean(r * r))
 
 
+def _pick_predictor(res_fn, cands, valid=None):
+    """Select the stage-Newton start with the smallest finite stage
+    residual among ``cands`` (one rhs eval each).  Non-finite residuals
+    rank last, so an overflowing extrapolation can never displace a
+    usable candidate (and vice versa).  ``valid`` (optional, parallel to
+    ``cands``) masks candidates out entirely — an invalid candidate must
+    behave exactly as if it were never offered, so a traced no-history
+    marker (``h_prev <= 0``) reproduces the untraced ``hist=None`` path
+    decision for decision."""
+    rs = jnp.stack([jnp.linalg.norm(res_fn(c)) for c in cands])
+    rs = jnp.where(jnp.isfinite(rs), rs, jnp.inf)
+    if valid is not None:
+        ok = jnp.stack([jnp.asarray(v) for v in valid])
+        rs = jnp.where(ok, rs, jnp.inf)
+    W = jnp.stack(cands)
+    return W[jnp.argmin(rs)]
+
+
+def _prefer_challenger(res_fn, incumbent, challenger, valid, margin=0.5):
+    """Two-way predictor choice with a DECISIVE margin: the challenger
+    replaces the incumbent only when its stage residual is finite and
+    under ``margin`` times the incumbent's (or the incumbent's is
+    non-finite).  The margin matters for determinism, not accuracy:
+    during the slow-manifold creep the f-based and history-extrapolated
+    predictors converge to the same line, an argmin between near-equal
+    residuals flips on last-ulp differences that vary with vectorization
+    width (vmap batch vs single), and though either pick converges to the
+    same stage root, the flip breaks the flat-engine == host-driver
+    trajectory identity.  Near-equal ⇒ keep the incumbent; the challenger
+    wins exactly where it carries its measured value — when the incumbent
+    is headed out of the Newton basin and the residual gap is orders of
+    magnitude, far from the margin boundary."""
+    r_i = jnp.linalg.norm(res_fn(incumbent))
+    r_c = jnp.linalg.norm(res_fn(challenger))
+    better = jnp.logical_and(
+        jnp.logical_and(jnp.asarray(valid), jnp.isfinite(r_c)),
+        jnp.logical_or(r_c < margin * r_i, ~jnp.isfinite(r_i)),
+    )
+    return jnp.where(better, challenger, incumbent)
+
+
+def _hist_candidate(z, z_prev, h_prev, theta_h):
+    """Cross-step linear predictor: extrapolate the line through the last
+    two ACCEPTED points to the stage time ``t + c_i*h`` (``theta_h`` =
+    ``c_i*h``).  This is the degree-1 version of the multistep (BDF-style)
+    predictor that lets the reference's scipy BDF-5 cross the final
+    slow-manifold creep in ~40 steps (reference
+    ``integration_solver.py:278-285``): in the creep the trajectory is
+    nearly straight in t, the f-based guess ``z + c_i*h*f`` routinely
+    leaves the frozen-Newton basin, and the intra-step stage extrapolation
+    only exists from stage 2 on — this candidate covers stage 1 (and
+    often wins outright).  ``h_prev <= 0`` marks no-history (start of a
+    segment / after an event where the flow changed / a bisection probe);
+    the caller must then mask the candidate out via ``_pick_predictor``'s
+    ``valid`` argument (returning ``z`` here is only a finite
+    placeholder)."""
+    theta = theta_h / jnp.maximum(h_prev, jnp.asarray(1e-300, z.dtype))
+    theta = jnp.where(h_prev > 0.0, theta, 0.0)
+    return z + theta * (z - z_prev)
+
+
 def implicit_euler_step(ctx, z, h, rho, filter, rtol, atol):
     """One implicit-Euler step: solve w = z + h f(w) by full Newton with
     the dense Jacobian; returns (w, converged, num_newton).  Error control
@@ -163,11 +224,12 @@ def _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol):
     return newton
 
 
-def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
+def trbdf2_step(ctx, z, h, rho, filter, rtol, atol, hist=None):
     """One TR-BDF2 step from ``z``: TR stage to ``z + gamma*h``, BDF2
     stage to ``z + h``.  Both stages solve with the SAME frozen matrix
     ``M = I - d*h*J(z)`` (simplified Newton), so the whole step costs one
-    dense factorization plus back-solves.  Returns
+    dense factorization plus back-solves.  ``hist = (z_prev, h_prev)`` is
+    the previous ACCEPTED point (see :func:`_hist_candidate`).  Returns
     ``(w, ok, num_newton, est)`` where ``est`` is the stiffly-filtered
     embedded local-error estimate (Hosea & Shampine)."""
     fz = fl.rhs(ctx, z, rho, filter)
@@ -180,33 +242,41 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
     newton = _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol)
 
     # TR stage: w1 = z + d*h*(f(z) + f(w1))
-    w1, ok1, it1 = newton(
-        lambda w: w - z - dh * (fz + fl.rhs(ctx, w, rho, filter)),
-        z + TRBDF2_GAMMA * h * fz,
-    )
+    def res1(ww):
+        return ww - z - dh * (fz + fl.rhs(ctx, ww, rho, filter))
+
+    w1_init = z + TRBDF2_GAMMA * h * fz
+    if hist is not None:
+        z_prev, h_prev = hist
+        w1_init = _prefer_challenger(
+            res1,
+            w1_init,
+            _hist_candidate(z, z_prev, h_prev, TRBDF2_GAMMA * h),
+            h_prev > 0.0,
+        )
+    w1, ok1, it1 = newton(res1, w1_init)
     f1 = fl.rhs(ctx, w1, rho, filter)
 
-    # BDF2 stage: w = az*z + aw*w1 + d*h*f(w).  Two predictors, pick the
-    # smaller stage residual (one extra rhs eval): f-based for curved
-    # transients, linear-in-t extrapolation of the TR stage for the stiff
-    # creep along the slow manifold (see the same choice in sdirk4_step)
+    # BDF2 stage: w = az*z + aw*w1 + d*h*f(w).  Candidate predictors,
+    # pick the smallest stage residual (one extra rhs eval each): f-based
+    # for curved transients, linear-in-t extrapolation of the TR stage or
+    # of the previous accepted step for the stiff creep along the slow
+    # manifold (see the same choice in sdirk4_step)
     base = TRBDF2_AZ * z + TRBDF2_AW * w1
 
     def res2(ww):
         return ww - base - dh * fl.rhs(ctx, ww, rho, filter)
 
-    cand_f = base + dh * f1
-    cand_x = z + (1.0 / TRBDF2_GAMMA) * (w1 - z)
-    r_f = jnp.linalg.norm(res2(cand_f))
-    r_x = jnp.linalg.norm(res2(cand_x))
-    # pick cand_x when its residual is finite AND (smaller than r_f OR
-    # r_f itself is non-finite) — a NaN r_f makes `r_x < r_f` False, and
-    # without the second clause a usable extrapolation predictor would be
-    # discarded exactly in the stiff/overflow regime it targets
-    better_x = jnp.logical_and(
-        jnp.isfinite(r_x), jnp.logical_or(r_x < r_f, ~jnp.isfinite(r_f))
-    )
-    w_init = jnp.where(better_x, cand_x, cand_f)
+    # NOTE: the cross-step candidate is deliberately NOT offered here —
+    # stage 2 already has the intra-step extrapolation cand_x, and during
+    # the slow-manifold creep the two are near-identical lines, so the
+    # residual argmin between them degenerates to an ulp coin-flip that
+    # varies with vectorization width (vmap batch) and breaks the
+    # flat-engine == host-driver trajectory identity.  Stage 1 (above) is
+    # where no intra-step extrapolation exists and the cross-step
+    # predictor carries all of its measured win.
+    cands2 = [base + dh * f1, z + (1.0 / TRBDF2_GAMMA) * (w1 - z)]
+    w_init = _pick_predictor(res2, cands2)
     w, ok2, it2 = newton(res2, w_init)
     fw = fl.rhs(ctx, w, rho, filter)
 
@@ -219,14 +289,15 @@ def trbdf2_step(ctx, z, h, rho, filter, rtol, atol):
     return w, ok, it1 + it2, est
 
 
-def sdirk4_step(ctx, z, h, rho, filter, rtol, atol):
+def sdirk4_step(ctx, z, h, rho, filter, rtol, atol, hist=None):
     """One SDIRK4 step from ``z`` (Hairer & Wanner II Table 6.5,
     gamma=1/4): five implicit stages, all with implicit weight ``h/4``,
     so ONE frozen factorization ``M = I - h/4 J(z)`` serves every stage's
     simplified-Newton iteration.  Stiffly accurate (the solution is the
     last stage), L-stable, order 4 with an embedded order-3 error
-    estimate stiffly filtered through ``M^{-1}``.  Returns
-    ``(w, ok, num_newton, est)`` like :func:`trbdf2_step`."""
+    estimate stiffly filtered through ``M^{-1}``.  ``hist = (z_prev,
+    h_prev)`` is the previous ACCEPTED point (:func:`_hist_candidate`).
+    Returns ``(w, ok, num_newton, est)`` like :func:`trbdf2_step`."""
     fz = fl.rhs(ctx, z, rho, filter)
     J = fl.rhs_jac(ctx, z, rho, filter)
     n_all = z.shape[0]
@@ -250,27 +321,36 @@ def sdirk4_step(ctx, z, h, rho, filter, rtol, atol):
         def res_fn(w, base=base):
             return w - base - dh * fl.rhs(ctx, w, rho, filter)
 
-        # two stage predictors, pick whichever has the smaller residual
-        # (one extra rhs eval): the f-based one wins in curved transients,
-        # the linear-in-t extrapolation of the stage trajectory wins in
-        # the stiff creep along the slow manifold where the trajectory is
-        # nearly straight and the f-based guess diverges the frozen
-        # Newton (measured: extrapolation-only cut a grinding perturbed
-        # HS71 lane from 2149 to 1281 steps but blew the nominal solve
-        # from 194 to 1405; the residual-based choice keeps both).
-        cand_f = base + dh * f_pred
-        if i == 0:
-            w_init = cand_f
-        else:
-            cand_x = z + (c_nodes[i] / c_nodes[i - 1]) * (y_prev - z)
-            r_f = jnp.linalg.norm(res_fn(cand_f))
-            r_x = jnp.linalg.norm(res_fn(cand_x))
-            # finite r_x wins on a non-finite r_f too (see trbdf2_step)
-            better_x = jnp.logical_and(
-                jnp.isfinite(r_x),
-                jnp.logical_or(r_x < r_f, ~jnp.isfinite(r_f)),
+        # candidate stage predictors, pick the smallest stage residual
+        # (one extra rhs eval each): the f-based one wins in curved
+        # transients; the linear-in-t extrapolations — of the previous
+        # stage within this step, and of the previous ACCEPTED step
+        # (cross-step, BDF-style) — win in the stiff creep along the slow
+        # manifold where the trajectory is nearly straight and the
+        # f-based guess diverges the frozen Newton (measured:
+        # extrapolation-only cut a grinding perturbed HS71 lane from 2149
+        # to 1281 steps but blew the nominal solve from 194 to 1405; the
+        # residual-based choice keeps both).  The cross-step candidate is
+        # the only extrapolation available at stage 1, exactly where the
+        # creep grind used to start each step with a diverging f-guess.
+        w_init = base + dh * f_pred
+        if i > 0:
+            w_init = _pick_predictor(
+                res_fn,
+                [w_init, z + (c_nodes[i] / c_nodes[i - 1]) * (y_prev - z)],
             )
-            w_init = jnp.where(better_x, cand_x, cand_f)
+        elif hist is not None:
+            # cross-step candidate at stage 1 ONLY (later stages have the
+            # intra-step extrapolation), and only on a DECISIVE residual
+            # margin — see _prefer_challenger for why near-equal ties must
+            # keep the f-based incumbent
+            z_prev, h_prev = hist
+            w_init = _prefer_challenger(
+                res_fn,
+                w_init,
+                _hist_candidate(z, z_prev, h_prev, c_nodes[i] * h),
+                h_prev > 0.0,
+            )
         y_i, ok_i, it_i = newton(res_fn, w_init)
         f_i = fl.rhs(ctx, y_i, rho, filter)
         fs.append(f_i)
@@ -307,7 +387,7 @@ def make_segment_runner(
     """Build the jitted segment integrator for a fixed event configuration."""
     ctx = cfg.ctx
 
-    def euler_step_with_error(z, h, rho, filter):
+    def euler_step_with_error(z, h, rho, filter, hist=None):
         w_full, ok1, n1 = implicit_euler_step(ctx, z, h, rho, filter, rtol, atol)
         w_half, ok2, n2 = implicit_euler_step(ctx, z, 0.5 * h, rho, filter, rtol, atol)
         w_two, ok3, n3 = implicit_euler_step(ctx, w_half, 0.5 * h, rho, filter, rtol, atol)
@@ -327,8 +407,8 @@ def make_segment_runner(
 
         return w_acc, accept, factor, n1 + n2 + n3
 
-    def trbdf2_step_with_error(z, h, rho, filter):
-        w, ok, iters, est = trbdf2_step(ctx, z, h, rho, filter, rtol, atol)
+    def trbdf2_step_with_error(z, h, rho, filter, hist=None):
+        w, ok, iters, est = trbdf2_step(ctx, z, h, rho, filter, rtol, atol, hist)
 
         err_ratio = _scaled_norm(est, w, rtol, atol)
         accept = jnp.logical_and(ok, err_ratio <= 1.0)
@@ -343,8 +423,8 @@ def make_segment_runner(
 
         return w, accept, factor, iters
 
-    def sdirk4_step_with_error(z, h, rho, filter):
-        w, ok, iters, est = sdirk4_step(ctx, z, h, rho, filter, rtol, atol)
+    def sdirk4_step_with_error(z, h, rho, filter, hist=None):
+        w, ok, iters, est = sdirk4_step(ctx, z, h, rho, filter, rtol, atol, hist)
 
         err_ratio = _scaled_norm(est, w, rtol, atol)
         accept = jnp.logical_and(ok, err_ratio <= 1.0)
@@ -372,6 +452,11 @@ def make_segment_runner(
             t=t0,
             z=z0,
             h=h0,
+            # size of the last ACCEPTED step (0 = no in-segment history);
+            # stored directly rather than recomputed as t - t_prev so the
+            # flat engine (which stores it the same way) stays bitwise
+            # identical — the subtraction rounds through accumulated t
+            h_last=jnp.zeros_like(t0),
             vals=vals0,
             crossed=jnp.zeros_like(vals0, dtype=bool),
             status=jnp.zeros_like(t0).astype(jnp.int32) - 1,  # -1 = running
@@ -384,7 +469,12 @@ def make_segment_runner(
 
         def body(c):
             h = jnp.minimum(c["h"], t_end - c["t"])
-            w, accept, factor, n_newton = step_with_error(c["z"], h, rho, filter)
+            # cross-step predictor history: the previous accepted point
+            # (h_last == 0 at segment start marks no-history)
+            hist = (c["z_prev"], c["h_last"])
+            w, accept, factor, n_newton = step_with_error(
+                c["z"], h, rho, filter, hist
+            )
 
             new_vals = ev.event_values(cfg, w, rho, filter, grad_dirs)
             crossed = ev.crossings(c["vals"], new_vals, dirs)
@@ -421,6 +511,7 @@ def make_segment_runner(
                 t=jnp.where(accept, t_new, c["t"]),
                 z=jnp.where(accept, w, c["z"]),
                 h=h_new,
+                h_last=jnp.where(accept, h, c["h_last"]),
                 vals=jnp.where(accept, new_vals, c["vals"]),
                 crossed=jnp.where(accept, crossed, c["crossed"]),
                 status=status,

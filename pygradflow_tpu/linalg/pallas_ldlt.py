@@ -25,6 +25,14 @@ import numpy as np
 
 DEFAULT_BLOCK = 128
 
+# batched factorizations at n >= this route to the cross-instance
+# panel-batched factorization (two_level_ldlt.ldlt_factor_batched_panels):
+# XLA batched GEMM trailing updates put the whole batch on the MXU, vs the
+# grid-free kernel's B-fold serialized instances (round-5 directive #2).
+# Below it (single-panel matrices) there are no trailing updates to batch
+# and the VMEM kernel's fused panel loop wins.
+PANEL_BATCH_MIN_N = 512
+
 
 def _factor_body(a, n, block):
     """Blocked LDL^T on an (n, n) f32 value; returns the packed factor."""
@@ -126,10 +134,16 @@ def _batched_kernel(a_ref, out_ref, buf, isem, osem, *, n, block, batch):
 
 
 def _call_batched(mat, n_pad, block, interpret):
-    """Explicitly batched (..., n, n) factorization via the grid-free
-    batched kernel (leading dims flattened)."""
+    """Explicitly batched (..., n, n) factorization: cross-instance
+    panel-batched (MXU batched GEMMs) at n >= PANEL_BATCH_MIN_N, else the
+    grid-free serialized kernel (leading dims flattened)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if n_pad >= PANEL_BATCH_MIN_N:
+        from .two_level_ldlt import ldlt_factor_batched_panels
+
+        return ldlt_factor_batched_panels(mat, super_block=block)
 
     lead = mat.shape[:-2]
     flat = mat.reshape((-1, n_pad, n_pad))

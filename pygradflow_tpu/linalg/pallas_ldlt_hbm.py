@@ -270,8 +270,13 @@ def pallas_ldlt_factor_hbm(mat, block: int = 256, interpret: bool = False):
     @call.def_vmap
     def _rule(axis_size, in_batched, m):
         # this Mosaic toolchain rejects any gridded pallas call (incl.
-        # the grid vmap adds): run instances sequentially, grid-free
-        return jax.lax.map(call, m), True
+        # the grid vmap adds); instead of running instances sequentially
+        # (lax.map — B-fold serialized critical path), batched HBM-size
+        # factorizations take the cross-instance panel-batched path whose
+        # trailing updates are XLA *batched* MXU GEMMs (round-5 dir. #2)
+        from .two_level_ldlt import ldlt_factor_batched_panels
+
+        return ldlt_factor_batched_panels(m), True
 
     out = call(mat)
 

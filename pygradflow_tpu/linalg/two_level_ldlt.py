@@ -115,6 +115,82 @@ def ldlt_factor_two_level(
     return a
 
 
+@functools.partial(jax.jit, static_argnames=("super_block",))
+def ldlt_factor_batched_panels(mat, super_block: int = 128):
+    """Batched (..., n, n) f32 LDL^T built for MXU utilization
+    (round-5 directive: cross-instance panel batching).
+
+    The grid-free batched Pallas kernel (``pallas_ldlt._batched_kernel``)
+    serializes instances inside one kernel call — its sequential critical
+    path is ``B * n`` rank-1 column steps and the MXU sees only one
+    instance's (n, block) panels at a time (~0.5% of f32 peak measured,
+    ``artifacts/r3_kkt_batched.json``).  This factorization restructures
+    the batch so the hardware sees CROSS-INSTANCE work at every step:
+
+    - diagonal (SB, SB) blocks are factored by the pure-JAX rank-1 loop
+      (``ldlt.ldlt_factor``) over ALL instances at once — each of the SB
+      sequential steps is a (B, SB, SB) elementwise VPU op, so the
+      sequential depth is ``n`` column steps total, B-fold less than the
+      serialized kernel;
+    - panel solves are XLA *batched* TriangularSolves (B, rest, SB);
+    - trailing Schur updates are XLA *batched* GEMMs
+      (B, rest, SB) @ (B, SB, rest) — the MXU tiles the whole batch.
+
+    With SB=128 the rank-1 VPU work is ~SB/n of the FLOPs and everything
+    else runs on the MXU.  Same packed convention as ``ldlt.py``; same
+    unpivoted quasi-definite envelope (breakdown ⇒ NaN poison ⇒ rejected
+    step).  Replaces the serialized kernel for batched factorizations at
+    n >= ``pallas_ldlt.PANEL_BATCH_MIN_N`` (see ``_dispatch_factor``);
+    numerics verified against the single-instance kernel in
+    ``tests/test_pallas_ldlt.py``."""
+    from .ldlt import ldlt_factor
+
+    mat = mat.astype(jnp.float32)
+    n = mat.shape[-1]
+
+    num = -(-n // super_block)
+    n_pad = num * super_block
+    if n_pad != n:
+        shape = mat.shape[:-2] + (n_pad, n_pad)
+        eye = jnp.broadcast_to(jnp.eye(n_pad, dtype=jnp.float32), shape)
+        mat = eye.at[..., :n, :n].set(mat)
+
+    a = mat
+    for k in range(num):  # static unroll
+        s, e = k * super_block, (k + 1) * super_block
+
+        packed = ldlt_factor(a[..., s:e, s:e])
+        a = a.at[..., s:e, s:e].set(packed)
+
+        if e == n_pad:
+            break
+
+        d = jnp.diagonal(packed, axis1=-2, axis2=-1)  # (..., SB)
+        lower = jnp.tril(packed, k=-1) + jnp.eye(
+            super_block, dtype=jnp.float32
+        )
+
+        p = a[..., e:, s:e]  # (..., rest, SB)
+        y = jsl.solve_triangular(
+            lower,
+            jnp.swapaxes(p, -1, -2),
+            lower=True,
+            unit_diagonal=True,
+        )
+        x = jnp.swapaxes(y, -1, -2)
+
+        inv_d = jnp.where(d != 0.0, 1.0 / d, jnp.nan)
+        l_panel = x * inv_d[..., None, :]
+        a = a.at[..., e:, s:e].set(l_panel)
+
+        upd = l_panel @ jnp.swapaxes(x, -1, -2)  # batched MXU GEMM
+        a = a.at[..., e:, e:].add(-upd)
+
+    if n_pad != n:
+        a = a[..., :n, :n]
+    return a
+
+
 def ldlt_factor_residual(packed, mat):
     """Cheap O(n^2) factorization-quality probe: relative residual of
     ``L D L^T v`` against ``A v`` for a fixed deterministic probe vector.
@@ -132,11 +208,14 @@ def ldlt_factor_residual(packed, mat):
     strict = jnp.tril(packed, k=-1)
     d = jnp.diagonal(packed, axis1=-2, axis2=-1)
 
-    w = v + jnp.swapaxes(strict, -1, -2) @ v  # L^T v
-    y = d * w
-    z = y + strict @ y  # L D L^T v
+    # (..., n, 1) column throughout: plain `@ v` breaks on explicit batch
+    # dims (matmul would read (..., n) as a matrix, not a batched vector)
+    vc = jnp.broadcast_to(v[:, None], packed.shape[:-2] + (n, 1))
+    w = vc + jnp.swapaxes(strict, -1, -2) @ vc  # L^T v
+    y = d[..., :, None] * w
+    z = (y + strict @ y)[..., 0]  # L D L^T v
 
-    av = mat.astype(dtype) @ v
+    av = (mat.astype(dtype) @ vc)[..., 0]
     num = jnp.linalg.norm(z - av, axis=-1)
     den = jnp.linalg.norm(mat.astype(dtype), axis=(-2, -1)) * jnp.linalg.norm(
         v

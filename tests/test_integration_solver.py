@@ -102,8 +102,11 @@ def test_solve_hs71(integration_params):
 
 def test_hs71_segment_anchor_and_counters(integration_params):
     """Behavioral anchor: HS71 = 10 segments (same as the reference's BDF
-    engine), and the Newton counter reflects actual iterations (strictly
-    between one per step and the hard cap of the old fake accounting)."""
+    engine; the round-5 cross-step stage predictor cut TR-BDF2 from 376
+    to 357 steps and Newton its by 28% without changing the segment
+    sequence), and the Newton counter reflects actual iterations
+    (strictly between one per step and the hard cap of the old fake
+    accounting)."""
     inst = hs71_instance()
     result = IntegrationSolver(inst.problem, integration_params).solve(
         inst.x_0, inst.y_0

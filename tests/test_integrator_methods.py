@@ -98,10 +98,12 @@ def test_sdirk4_empirical_order_four():
     "instance,segments,max_steps",
     [
         # steps within 1.5x the reference's scipy BDF-5 counts (180 / 239);
+        # round 5: the cross-step predictor puts HS71 at 10 segments / 197
+        # steps — the segment count now MATCHES the reference's 10;
         # event sequences identical in kind and order, one fewer trailing
         # penalty rung than TR-BDF2 (converges before it fires, PARITY.md);
         # measured 200 / 240 with the dual stage predictor
-        (hs71_instance, 9, 270),
+        (hs71_instance, 10, 270),
         (tame_instance, 11, 359),
     ],
 )
