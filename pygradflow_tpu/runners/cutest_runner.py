@@ -115,20 +115,100 @@ class CUTEstProblem(Problem):
         return self._cb(h, jax.ShapeDtypeStruct((n, n), np.float64), x, y)
 
 
-class CUTEstInstance(Instance):
-    def __init__(self, name, cutest):
+def is_ne_problem(name):
+    """Nonlinear-equation SIF convention: the name ends in "NE"
+    (reference ``cutest_runner.py:12-13``)."""
+    return name.endswith("NE")
+
+
+class CUTEstNEProblem(Problem):
+    """Nonlinear-equation problem translated to bound-constrained least
+    squares: ``min 1/2 ||c(x)||^2`` with gradient ``J^T c`` and the
+    Gauss-Newton Hessian ``J^T J`` (reference ``cutest_runner.py:87-117``
+    NECUTEstProblem) — the "constraints" of the SIF decode are the
+    residuals, the translated problem has none."""
+
+    def __init__(self, cutest):
+        import jax
+
         self._cutest = cutest
-        super().__init__(name, cutest.n, cutest.m)
+        self._jax = jax
+        self._m = int(cutest.m)
+
+        super().__init__(_map_inf(cutest.bl), _map_inf(cutest.bu))
+
+    def _cb(self, fn, shape_dtype, *args):
+        return self._jax.pure_callback(
+            fn, shape_dtype, *args, vmap_method="sequential"
+        )
+
+    def obj(self, x):
+        import jax
+
+        def f(xv):
+            r = np.asarray(self._cutest.cons(np.asarray(xv, dtype=np.float64)))
+            return np.asarray(0.5 * np.dot(r, r))
+
+        return self._cb(f, jax.ShapeDtypeStruct((), np.float64), x)
+
+    def obj_grad(self, x):
+        import jax
+
+        def g(xv):
+            r, jac = self._cutest.cons(
+                np.asarray(xv, dtype=np.float64), gradient=True
+            )
+            return np.asarray(jac).T.dot(np.asarray(r))
+
+        return self._cb(g, jax.ShapeDtypeStruct((self.num_vars,), np.float64), x)
+
+    def lag_hess(self, x, y):
+        import jax
+
+        def h(xv):
+            _, jac = self._cutest.cons(
+                np.asarray(xv, dtype=np.float64), gradient=True
+            )
+            jac = np.asarray(jac, dtype=np.float64)
+            return jac.T.dot(jac)
+
+        n = self.num_vars
+        return self._cb(h, jax.ShapeDtypeStruct((n, n), np.float64), x)
+
+
+class CUTEstInstance(Instance):
+    """Lazy instance: the SIF decode (``pycutest.import_problem``) runs at
+    ``problem()`` time, not at listing time (the reference defers the same
+    way, ``cutest_runner.py:134-151``)."""
+
+    def __init__(self, name, num_vars, num_cons):
+        super().__init__(name, num_vars, num_cons)
+        self._decoded = None
+
+    def _cutest(self):
+        if self._decoded is None:
+            import pycutest
+
+            self._decoded = pycutest.import_problem(self.name)
+        return self._decoded
 
     def problem(self):
-        return CUTEstProblem(self._cutest)
+        cutest = self._cutest()
+        if is_ne_problem(self.name):
+            return CUTEstNEProblem(cutest)
+        return CUTEstProblem(cutest)
 
     def x0(self):
-        return np.asarray(self._cutest.x0, dtype=np.float64)
+        return np.asarray(self._cutest().x0, dtype=np.float64)
 
     def y0(self):
-        if self._cutest.m > 0 and self._cutest.v0 is not None:
-            return np.asarray(self._cutest.v0, dtype=np.float64)
+        cutest = self._cutest()
+        if (
+            not is_ne_problem(self.name)
+            and cutest.m > 0
+            and getattr(cutest, "v0", None) is not None
+        ):
+            return np.asarray(cutest.v0, dtype=np.float64)
         return 0.0
 
 
@@ -139,7 +219,13 @@ class CUTEstRunner(Runner):
     def parser(self):
         parser = super().parser()
         parser.add_argument(
-            "--problems", nargs="*", help="CUTEst problem names (default: all cached)"
+            "--problems", nargs="*", help="CUTEst problem names (default: all)"
+        )
+        parser.add_argument(
+            "--ignore_ne_probs",
+            action="store_true",
+            help="skip *NE nonlinear-equation problems "
+            "(reference cutest_runner.py:161)",
         )
         return parser
 
@@ -150,14 +236,26 @@ class CUTEstRunner(Runner):
             logger.warning("pycutest is not installed; no CUTEst instances")
             return []
 
-        names = args.problems or pycutest.find_problems(constraints="unconstrained")
+        names = args.problems or pycutest.find_problems()
         instances = []
         for name in names:
+            if args.ignore_ne_probs and is_ne_problem(name):
+                continue
             try:
-                cutest = pycutest.import_problem(name)
-                instances.append(CUTEstInstance(name, cutest))
+                props = pycutest.problem_properties(name)
             except Exception as exc:
-                logger.warning("Failed to import CUTEst problem %s: %s", name, exc)
+                logger.warning("No properties for CUTEst problem %s: %s", name, exc)
+                continue
+            n, m = props.get("n"), props.get("m")
+            # variable-dimension SIF entries need an explicit size choice;
+            # skip them like the reference (cutest_runner.py:171-176)
+            if n == "variable" or m == "variable":
+                continue
+            m = 0 if m is None else m
+            # the TRANSLATED NE problem is unconstrained
+            instances.append(
+                CUTEstInstance(name, n, 0 if is_ne_problem(name) else m)
+            )
         return instances
 
 
