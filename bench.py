@@ -44,15 +44,12 @@ TRANSIENT_PATTERNS = (
 
 
 def _metric_name():
-    return (
-        f"batched Rosenbrock solves/sec (B={BATCH}, "
-        + (
-            "f32, opt_tol=1e-4"
-            if os.environ.get("BENCH_PRECISION") == "Single"
-            else "opt_tol=1e-6"
-        )
-        + ")"
-    )
+    kind = os.environ.get("BENCH_PRECISION", "Double")
+    desc = {
+        "Single": "f32, opt_tol=1e-4",
+        "Mixed": "mixed f32+f64-polish, opt_tol=1e-6",
+    }.get(kind, "opt_tol=1e-6")
+    return f"batched Rosenbrock solves/sec (B={BATCH}, {desc})"
 
 
 def make_starts(batch):
@@ -87,22 +84,40 @@ def run_ours(x0s):
 
     from pygradflow_tpu import Precision
 
-    precision = Precision[os.environ.get("BENCH_PRECISION", "Double")]
-    params = Params(
-        validate_input=False,
-        linear_solver_type=LinearSolverType[os.environ.get("BENCH_LINSOLVER", "LU")],
-        jit_chunk=int(os.environ.get("BENCH_CHUNK", 128)),
-        precision=precision,
-    )
-    if precision == Precision.Single:
-        # f32 mode: loosened tolerances (reference params.py:210-211 notes
-        # lamb_min ~1e-6 for single precision)
-        params.opt_tol = 1e-4
-        params.lamb_min = 1e-6
+    kind = os.environ.get("BENCH_PRECISION", "Double")
     # BENCH_COMPACT=0/1 overrides the auto harvest+compaction decision
     compact_env = os.environ.get("BENCH_COMPACT")
     compact = None if compact_env is None else bool(int(compact_env))
-    solver = BatchedSolver(Rosenbrock(), params, compact=compact)
+
+    if kind == "Mixed":
+        # mixed-precision homotopy (round-5 directive #3): f32 bulk loop
+        # to 1e-4 + f64 polish to the real 1e-6 tolerance
+        from pygradflow_tpu.parallel import MixedPrecisionSolver
+
+        params = Params(
+            validate_input=False,
+            linear_solver_type=LinearSolverType[
+                os.environ.get("BENCH_LINSOLVER", "LU")
+            ],
+            jit_chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+        )
+        solver = MixedPrecisionSolver(Rosenbrock(), params, compact=compact)
+    else:
+        precision = Precision[kind]
+        params = Params(
+            validate_input=False,
+            linear_solver_type=LinearSolverType[
+                os.environ.get("BENCH_LINSOLVER", "LU")
+            ],
+            jit_chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+            precision=precision,
+        )
+        if precision == Precision.Single:
+            # f32 mode: loosened tolerances (reference params.py:210-211
+            # notes lamb_min ~1e-6 for single precision)
+            params.opt_tol = 1e-4
+            params.lamb_min = 1e-6
+        solver = BatchedSolver(Rosenbrock(), params, compact=compact)
 
     # warmup: populate compile caches with the same shapes
     warm = solver.solve(x0s)
@@ -196,11 +211,10 @@ def inner_main():
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
             from baseline_cache import write_artifact
 
-            name = (
-                "r4_rosenbrock_f32.json"
-                if os.environ.get("BENCH_PRECISION") == "Single"
-                else "r4_rosenbrock.json"
-            )
+            name = {
+                "Single": "r5_rosenbrock_f32.json",
+                "Mixed": "r5_rosenbrock_mixed.json",
+            }.get(os.environ.get("BENCH_PRECISION", "Double"), "r5_rosenbrock.json")
             write_artifact(name, {**payload, "baseline_solves_per_sec": baseline})
         except Exception:
             pass

@@ -36,6 +36,11 @@ TIERS = {
     "f64_16384_tol4": (16384, "Double", 1e-4),
     "f32_4096_tol4": (4096, "Single", 1e-4),
     "f32_16384_tol4": (16384, "Single", 1e-4),
+    # mixed-precision homotopy (round-5 directive #3): f32 bulk loop to
+    # 1e-4, then f64 polish warm-started from the f32 solutions to the
+    # REAL tolerance — same convergence bar as the f64 tiers
+    "mixed_16384": (16384, "Mixed", 1e-6),
+    "mixed_16384_tol8": (16384, "Mixed", 1e-8),
 }
 
 
@@ -50,24 +55,29 @@ def make_starts(batch):
 
 def run_tier(batch, precision, opt_tol):
     from pygradflow_tpu import Params, Precision
-    from pygradflow_tpu.parallel import BatchedSolver
+    from pygradflow_tpu.parallel import BatchedSolver, MixedPrecisionSolver
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from problems import HS71
 
-    params = Params(
-        validate_input=False,
-        jit_chunk=128,
-        precision=Precision[precision],
-        opt_tol=opt_tol,
-    )
-    if precision == "Single":
-        params.lamb_min = 1e-6  # reference params.py:210-211 f32 note
     # BENCH_COMPACT=0/1 overrides the auto harvest+compaction decision
     # (for measuring the compaction win itself)
     compact_env = os.environ.get("BENCH_COMPACT")
     compact = None if compact_env is None else bool(int(compact_env))
-    solver = BatchedSolver(HS71(), params, compact=compact)
+
+    if precision == "Mixed":
+        params = Params(validate_input=False, jit_chunk=128, opt_tol=opt_tol)
+        solver = MixedPrecisionSolver(HS71(), params, compact=compact)
+    else:
+        params = Params(
+            validate_input=False,
+            jit_chunk=128,
+            precision=Precision[precision],
+            opt_tol=opt_tol,
+        )
+        if precision == "Single":
+            params.lamb_min = 1e-6  # reference params.py:210-211 f32 note
+        solver = BatchedSolver(HS71(), params, compact=compact)
 
     x0s = make_starts(batch)
     y0s = np.zeros((batch, 2))
@@ -137,7 +147,7 @@ def main():
 
     from baseline_cache import ART, write_artifact
 
-    artifact = os.environ.get("BENCH_ARTIFACT", "r4_hs.json")
+    artifact = os.environ.get("BENCH_ARTIFACT", "r5_hs.json")
     prior = os.path.join(ART, artifact)
     if args.tiers is not None and os.path.exists(prior):
         with open(prior) as f:

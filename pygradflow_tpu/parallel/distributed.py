@@ -72,10 +72,15 @@ def init_distributed(
     # they'd spin up the single-process backend first
     already = jax.distributed.is_initialized()
     explicit = coordinator_address is not None
+    # cloud TPU pod: only a MULTI-host worker list implies a coordinator
+    # (single-host plugins — e.g. the axon tunnel's sitecustomize — set
+    # TPU_WORKER_HOSTNAMES=localhost, which must stay single-process)
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_host = len([h for h in hostnames.split(",") if h.strip()]) > 1
     env_driven = (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("TPU_WORKER_HOSTNAMES")  # cloud TPU pod
+        or multi_host
     )
     if not already and (explicit or env_driven):
         kwargs = {}
