@@ -34,6 +34,7 @@ from ..iterate import evaluate_iterate, is_feasible, locally_infeasible
 from ..status import RUNNING, SolverStatus
 from . import events as ev
 from . import flow as fl
+from .integrator import BISECT_BLOWUP, BISECT_RTOL
 
 MAX_BISECT = 50
 
@@ -93,7 +94,10 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
         accepted state at ``t_cur`` — the fallback when bisection never
         re-finds the crossing (re-stepping the whole remaining bracket
         with one implicit-Euler jump diverges near convergence, where the
-        bracket can span ~1e6 model-time units)."""
+        bracket can span ~1e6 model-time units).  Probes whose flow
+        residuum blows up past ``BISECT_BLOWUP x`` the bracket entry's are
+        spurious Newton roots and stop the bisection exactly like a
+        failed probe (see ``integrator.bisect_event``)."""
         dirs = ev.event_directions(cfg, filter, grad_dirs)
 
         def cond(c):
@@ -102,7 +106,7 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
                 c["i"] < MAX_BISECT,
                 jnp.logical_and(
                     jnp.logical_not(c["stop"]),
-                    gap > 1e-12 * jnp.maximum(1.0, jnp.abs(c["t_hi"])),
+                    gap > BISECT_RTOL * jnp.maximum(1.0, jnp.abs(c["t_hi"])),
                 ),
             )
 
@@ -111,6 +115,15 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
             h = t_mid - c["t_lo"]
             z_mid, ok = step_fn(c["z_lo"], h, rho, filter)
             vals_mid = run_vals(z_mid, rho, filter, grad_dirs)
+            # probe residuum comes free from the conv event slot;
+            # res_entry is the FIXED bracket-entry residuum (closure)
+            res_mid = vals_mid[3 * n] + opt_tol
+            ok = jnp.logical_and(
+                ok,
+                jnp.logical_and(
+                    jnp.isfinite(res_mid), res_mid <= BISECT_BLOWUP * res_entry
+                ),
+            )
             crossed = jnp.any(ev.crossings(c["vals_lo"], vals_mid, dirs))
 
             hi_branch = jnp.logical_and(ok, crossed)
@@ -126,10 +139,12 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
                 i=c["i"] + 1,
             )
 
+        vals0 = run_vals(z_prev, rho, filter, grad_dirs)
+        res_entry = vals0[3 * n] + opt_tol  # conv slot = residuum - tol
         init = dict(
             t_lo=t_prev,
             z_lo=z_prev,
-            vals_lo=run_vals(z_prev, rho, filter, grad_dirs),
+            vals_lo=vals0,
             t_hi=t_cur,
             z_hi=jnp.zeros_like(z_prev),
             has_hi=jnp.zeros((), bool),
@@ -145,10 +160,22 @@ def make_device_loop(cfg, fns, lb, ub, params, run_segment, step_fn):
 
     def handle_event(t, z, h0, rho, filter, status, path_dist, seg):
         """Bisect to the crossing and dispatch it (priority = event index,
-        reference ``integration_solver.py:143-225``)."""
+        reference ``integration_solver.py:143-225``).  A pure-convergence
+        crossing (conv is the ONLY crossed event of the step) skips
+        bisection: any point past the crossing has residuum <= opt_tol,
+        so the segment's accepted endpoint is an Optimal certificate (the
+        host driver and flat engine short-circuit identically)."""
         grad_dirs = ev.grad_event_dirs(ctx, z, filter, lb, ub)
-        t_ev, z_ev, crossed = bisect(
-            seg.t_prev, seg.z_prev, seg.t, seg.z, rho, filter, grad_dirs
+        conv_only = jnp.logical_and(
+            seg.crossed[3 * n], jnp.sum(seg.crossed) == 1
+        )
+        t_ev, z_ev, crossed = jax.lax.cond(
+            conv_only,
+            lambda _: (seg.t, seg.z, seg.crossed),
+            lambda _: bisect(
+                seg.t_prev, seg.z_prev, seg.t, seg.z, rho, filter, grad_dirs
+            ),
+            None,
         )
         path_dist = path_dist + jnp.linalg.norm(z_ev - z)
 

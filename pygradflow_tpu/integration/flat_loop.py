@@ -42,6 +42,8 @@ from . import events as ev
 from . import flow as fl
 from .device_loop import MAX_BISECT, _create_filter
 from .integrator import (
+    BISECT_BLOWUP,
+    BISECT_RTOL,
     _scaled_norm,
     implicit_euler_step,
     sdirk4_step,
@@ -203,6 +205,7 @@ def make_flat_loop(cfg, fns, lb, ub, params):
             bis_t_lo=jnp.zeros((), dt),
             bis_z_lo=z,
             bis_vals_lo=jnp.zeros((n_ev,), dt),
+            bis_res0=jnp.zeros((), dt),
             bis_t_hi=jnp.zeros((), dt),
             bis_z_hi=z,
             bis_vals_hi=jnp.zeros((n_ev,), dt),
@@ -214,6 +217,10 @@ def make_flat_loop(cfg, fns, lb, ub, params):
             # cross-step predictor history (h <= 0 marks no-history)
             hist_z=z,
             hist_h=jnp.zeros((), dt),
+            # total work units (step attempts + bisection probes) — the
+            # lane's share of the lockstep critical path; max over lanes
+            # x ms/unit = the batched wall (see benchmarks/probe_flat_cost)
+            units=zero_i,
         )
         return _transition(c)
 
@@ -234,7 +241,7 @@ def make_flat_loop(cfg, fns, lb, ub, params):
                     c["bis_i"] < MAX_BISECT,
                     jnp.logical_and(
                         jnp.logical_not(c["bis_stop"]),
-                        gap > 1e-12 * jnp.maximum(1.0, jnp.abs(c["bis_t_hi"])),
+                        gap > BISECT_RTOL * jnp.maximum(1.0, jnp.abs(c["bis_t_hi"])),
                     ),
                 )
             ),
@@ -267,20 +274,31 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         any_crossed = jnp.any(crossed_step)
         t_new = c["t"] + h_in
 
-        ev_enter = jnp.logical_and(accept, any_crossed)
+        ev_any = jnp.logical_and(accept, any_crossed)
+        # pure-convergence crossing: bisection refines the event TIME, but
+        # any point past a convergence crossing already has residuum
+        # <= opt_tol — the accepted endpoint is an Optimal certificate, so
+        # ~BISECT-probe units (one implicit step each) buy nothing.  Only
+        # when conv is the sole crossed event (an earlier pin/release in
+        # the same step must still be located and applied first).
+        conv_only = jnp.logical_and(
+            crossed_step[3 * n], jnp.sum(crossed_step) == 1
+        )
+        ev_direct = jnp.logical_and(ev_any, conv_only)
+        ev_enter = jnp.logical_and(ev_any, jnp.logical_not(conv_only))
         tend_hit = jnp.logical_and(
             accept,
             jnp.logical_and(jnp.logical_not(any_crossed), t_new >= c["seg_t_end"]),
         )
         brk = jnp.logical_and(
-            jnp.logical_not(jnp.logical_or(ev_enter, tend_hit)),
+            jnp.logical_not(jnp.logical_or(ev_any, tend_hit)),
             jnp.logical_or(
                 c["seg_steps"] >= max_steps,
                 c["h"] <= 3.6e-15 * jnp.maximum(1.0, c["t"]),
             ),
         )
         normal = jnp.logical_and(
-            accept, jnp.logical_not(jnp.logical_or(ev_enter, tend_hit))
+            accept, jnp.logical_not(jnp.logical_or(ev_any, tend_hit))
         )
 
         h_new = jnp.maximum(c["h"] * factor, 1e-14)
@@ -300,6 +318,12 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         cs["bis_t_lo"] = jnp.where(ev_enter, c["t"], c["bis_t_lo"])
         cs["bis_z_lo"] = jnp.where(ev_enter, c["z"], c["bis_z_lo"])
         cs["bis_vals_lo"] = jnp.where(ev_enter, c["vals"], c["bis_vals_lo"])
+        # bracket-entry residuum: the spurious-root probe guard's scale
+        # (see integrator.bisect_event / BISECT_BLOWUP).  The conv event
+        # slot IS residuum - opt_tol, so this costs nothing extra.
+        cs["bis_res0"] = jnp.where(
+            ev_enter, c["vals"][3 * n] + opt_tol, c["bis_res0"]
+        )
         cs["bis_t_hi"] = jnp.where(ev_enter, t_new, c["bis_t_hi"])
         cs["bis_has_hi"] = jnp.where(ev_enter, False, c["bis_has_hi"])
         cs["bis_stop"] = jnp.where(ev_enter, False, c["bis_stop"])
@@ -322,11 +346,39 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         )
         cs["h"] = jnp.where(tend_hit, jnp.maximum(h_new, 1e-10), cs["h"])
         cs["iteration"] = cs["iteration"] + tend_hit.astype(jnp.int32)
+        # direct convergence (conv-only crossing, no bisection): apply the
+        # event at the accepted endpoint, mirroring the ca-family conv
+        # path (box clip + path_dist + iteration count + Optimal)
+        x_w, y_w = fl.split(ctx, w)
+        z_conv = jnp.concatenate([jnp.clip(x_w, lb, ub), y_w])
+        cs["t"] = jnp.where(ev_direct, t_new, cs["t"])
+        cs["z"] = jnp.where(ev_direct, z_conv, cs["z"])
+        cs["path_dist"] = jnp.where(
+            ev_direct,
+            c["path_dist"] + jnp.linalg.norm(z_conv - c["seg_z0"]),
+            cs["path_dist"],
+        )
+        cs["iteration"] = cs["iteration"] + ev_direct.astype(jnp.int32)
+        cs["status"] = jnp.where(
+            ev_direct, int(SolverStatus.Optimal), cs["status"]
+        ).astype(jnp.int32)
+        cs["mode"] = jnp.where(ev_direct, DONE, cs["mode"]).astype(jnp.int32)
 
-        # ---- BISECT-step update (mirrors device_loop.bisect.body)
+        # ---- BISECT-step update (mirrors device_loop.bisect.body, incl.
+        # the spurious-root probe guard: a converged probe whose flow
+        # residuum blew past BISECT_BLOWUP x the bracket entry's is a
+        # wrong Newton root — treated exactly like a failed probe).  The
+        # probe's residuum comes free from its conv event slot.
+        res_w = new_vals[3 * n] + opt_tol
+        ok_probe = jnp.logical_and(
+            ok,
+            jnp.logical_and(
+                jnp.isfinite(res_w), res_w <= BISECT_BLOWUP * c["bis_res0"]
+            ),
+        )
         crossed_mid = jnp.any(ev.crossings(c["bis_vals_lo"], new_vals, c["dirs"]))
-        hi_branch = jnp.logical_and(ok, crossed_mid)
-        lo_branch = jnp.logical_and(ok, jnp.logical_not(crossed_mid))
+        hi_branch = jnp.logical_and(ok_probe, crossed_mid)
+        lo_branch = jnp.logical_and(ok_probe, jnp.logical_not(crossed_mid))
         cb = dict(c)
         cb["bis_t_lo"] = jnp.where(lo_branch, t_mid, c["bis_t_lo"])
         cb["bis_z_lo"] = jnp.where(lo_branch, w, c["bis_z_lo"])
@@ -335,7 +387,7 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         cb["bis_z_hi"] = jnp.where(hi_branch, w, c["bis_z_hi"])
         cb["bis_vals_hi"] = jnp.where(hi_branch, new_vals, c["bis_vals_hi"])
         cb["bis_has_hi"] = jnp.logical_or(c["bis_has_hi"], hi_branch)
-        cb["bis_stop"] = jnp.logical_not(ok)
+        cb["bis_stop"] = jnp.logical_not(ok_probe)
         cb["bis_i"] = c["bis_i"] + 1
 
         # ---- event application (bisection finished)
@@ -394,6 +446,7 @@ def make_flat_loop(cfg, fns, lb, ub, params):
         out["mode"] = jnp.where(out["status"] == RUNNING, out["mode"], DONE).astype(
             jnp.int32
         )
+        out["units"] = c["units"] + 1
         return out
 
     # ------------------------------------------------------------------

@@ -198,23 +198,33 @@ class IntegrationSolver:
                 break
 
             if seg_status == 0:
-                # refine the event location by bisection
-                def run_vals(zz):
-                    return ev.event_values(self.cfg, zz, rho, filter, grad_dirs)
+                crossed_step = np.asarray(seg.crossed)
+                if bool(crossed_step[3 * n]) and crossed_step.sum() == 1:
+                    # pure-convergence crossing: any point past it has
+                    # residuum <= opt_tol, so the segment's accepted
+                    # endpoint certifies Optimal — skip the bisection
+                    # (device/flat engines short-circuit identically)
+                    t_ev, z_ev, crossed = float(seg.t), seg.z, crossed_step
+                else:
+                    # refine the event location by bisection
+                    def run_vals(zz):
+                        return ev.event_values(
+                            self.cfg, zz, rho, filter, grad_dirs
+                        )
 
-                t_ev, z_ev, crossed = bisect_event(
-                    self.cfg,
-                    self._step_fn,
-                    run_vals,
-                    seg.t_prev,
-                    seg.z_prev,
-                    float(seg.t),
-                    rho,
-                    filter,
-                    grad_dirs,
-                    z_end=seg.z,
-                )
-                crossed = np.asarray(crossed)
+                    t_ev, z_ev, crossed = bisect_event(
+                        self.cfg,
+                        self._step_fn,
+                        run_vals,
+                        seg.t_prev,
+                        seg.z_prev,
+                        float(seg.t),
+                        rho,
+                        filter,
+                        grad_dirs,
+                        z_end=seg.z,
+                    )
+                    crossed = np.asarray(crossed)
                 path_dist += float(jnp.linalg.norm(z_ev - z))
                 t, z = t_ev, z_ev
 

@@ -33,6 +33,25 @@ from . import flow as fl
 NEWTON_MAX_IT = 8
 NEWTON_TOL_FACTOR = 1e-3  # relative to the step error tolerance
 
+
+# event-bisection probe validation: a probe whose flow residuum exceeds
+# this factor times the bracket entry's residuum converged to a spurious
+# implicit-equation root (see bisect_event docstring); legitimate
+# within-bracket growth is O(1), the spurious case is ~1e9x
+BISECT_BLOWUP = 100.0
+
+# event-bracket stop tolerance (relative to |t_hi|).  Every bisection
+# probe is one implicit step (~4 ms at B=64 through the TPU tunnel), and
+# the post-event state is tolerant of a small location offset: a pinned
+# variable is clipped exactly onto its bound regardless, release/penalty
+# events only flip the filter / scale rho, and pure-convergence crossings
+# skip bisection entirely (any point past the crossing has residuum
+# <= opt_tol).  1e-9 cuts ~10 probes per event vs the previous 1e-12
+# with every parity anchor's event/segment sequence unchanged (1e-6 cut
+# ~20 but flipped TR-BDF2 HS71 to 11 segments vs the reference's 10 —
+# measured, do not loosen further).
+BISECT_RTOL = 1e-9
+
 # TR-BDF2 constants (gamma = 2 - sqrt(2): equal implicit weights in both
 # stages, L-stability)
 TRBDF2_GAMMA = 2.0 - math.sqrt(2.0)
@@ -80,12 +99,14 @@ def _pick_predictor(res_fn, cands, valid=None):
     behave exactly as if it were never offered, so a traced no-history
     marker (``h_prev <= 0``) reproduces the untraced ``hist=None`` path
     decision for decision."""
-    rs = jnp.stack([jnp.linalg.norm(res_fn(c)) for c in cands])
+    W = jnp.stack(cands)
+    # one vmapped eval for all candidates: each res_fn call is a separate
+    # ~0.3 ms dispatch through the TPU tunnel, the batched one is one
+    rs = jnp.linalg.norm(jax.vmap(res_fn)(W), axis=-1)
     rs = jnp.where(jnp.isfinite(rs), rs, jnp.inf)
     if valid is not None:
         ok = jnp.stack([jnp.asarray(v) for v in valid])
         rs = jnp.where(ok, rs, jnp.inf)
-    W = jnp.stack(cands)
     return W[jnp.argmin(rs)]
 
 
@@ -103,8 +124,10 @@ def _prefer_challenger(res_fn, incumbent, challenger, valid, margin=0.5):
     wins exactly where it carries its measured value — when the incumbent
     is headed out of the Newton basin and the residual gap is orders of
     magnitude, far from the margin boundary."""
-    r_i = jnp.linalg.norm(res_fn(incumbent))
-    r_c = jnp.linalg.norm(res_fn(challenger))
+    r = jnp.linalg.norm(
+        jax.vmap(res_fn)(jnp.stack([incumbent, challenger])), axis=-1
+    )
+    r_i, r_c = r[0], r[1]
     better = jnp.logical_and(
         jnp.logical_and(jnp.asarray(valid), jnp.isfinite(r_c)),
         jnp.logical_or(r_c < margin * r_i, ~jnp.isfinite(r_i)),
@@ -166,7 +189,17 @@ def _make_stage_newton(ctx, fact, dh, rho, filter, rtol, atol):
     ``I - dh*J(z)``), escalating to full Newton — fresh ``J(w)`` and
     refactorization per iteration, exactly as the implicit-Euler path
     does throughout — when the frozen iteration stalls or blows up
-    (strongly nonlinear flows at large ``rho*h``)."""
+    (strongly nonlinear flows at large ``rho*h``).
+
+    Measured dead end (round 5, do not re-try): replacing these
+    while_loops with statically unrolled masked sweeps (NEWTON_MAX_IT
+    slots, carry frozen once converged) made the B=64 batched sweep
+    SLOWER, not faster — 5.8 s frozen-only / 11.9 s with the escalation
+    sweep vs 3.9 s for the while form.  Unlike the PLU substitution
+    sweeps (clear win, ``linalg/plu.py``), the wasted Newton slots carry
+    real per-op latency (rhs evals + solves ~40 us/op through the
+    tunnel), which exceeds the ~0.26 ms/iteration loop-boundary cost they
+    remove."""
 
     def newton(res_fn, w0):
         n_all = w0.shape[0]
@@ -577,18 +610,32 @@ def bisect_event(
     one implicit-Euler step — near convergence the bracket can span ~1e6
     model-time units, the Newton for that jump diverges, and (before this
     guard) its garbage state, clipped into the box, silently replaced an
-    essentially-converged iterate with duals ~1e45."""
+    essentially-converged iterate with duals ~1e45.
+
+    Probe validation (``BISECT_BLOWUP``): a probe step whose Newton
+    CONVERGES can still land on a spurious root — a single uncontrolled
+    step across a long late-homotopy bracket (~1e7 model-time units at
+    rho=1e7) has multiple implicit-equation roots, and an off-trajectory
+    root passes ``ok`` while carrying a flow residuum ~1e9 (measured: a
+    perturbed HS71 start whose post-event "refined" state had residuum
+    9.2e8 vs 1.5e-1 at the bracket entry, poisoning every later segment).
+    Any probe whose residuum exceeds ``BISECT_BLOWUP x`` the bracket
+    entry's is treated exactly like a failed probe: stop bisecting and
+    fall back to the integrator's own error-controlled ``z_end``.  The
+    same guard runs in the device/flat engines (decision-identical)."""
     import numpy as np
 
     dirs = ev.event_directions(cfg, filter, grad_dirs)
     vals_prev = run_vals(z_prev)
+    # the conv event slot IS residuum - opt_tol: probe residuums are free
+    res_entry = float(vals_prev[3 * cfg.ctx.n]) + cfg.opt_tol
 
     t_lo, z_lo = float(t_prev), z_prev
     t_hi = float(t_cur)
     z_hi = None  # state at t_hi computed lazily
 
     for _ in range(max_bisect):
-        if t_hi - t_lo <= 1e-12 * max(1.0, abs(t_hi)):
+        if t_hi - t_lo <= BISECT_RTOL * max(1.0, abs(t_hi)):
             break
         t_mid = 0.5 * (t_lo + t_hi)
         h = t_mid - t_lo
@@ -596,6 +643,9 @@ def bisect_event(
         if not bool(ok):
             break
         vals_mid = run_vals(z_mid)
+        res_mid = float(vals_mid[3 * cfg.ctx.n]) + cfg.opt_tol
+        if not np.isfinite(res_mid) or res_mid > BISECT_BLOWUP * res_entry:
+            break
         crossed = ev.crossings(vals_prev, vals_mid, dirs)
         if bool(jnp.any(crossed)):
             t_hi = t_mid

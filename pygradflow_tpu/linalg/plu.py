@@ -101,8 +101,23 @@ def _unpack(fact: PLUFactorization):
     return lower, upper
 
 
+def _loop(n, body, init):
+    """Column sweep: statically unrolled for tiny systems (the same
+    treatment ``plu_factor`` gets — a fori_loop iteration costs ~0.2-0.5
+    ms through the TPU tunnel regardless of the work inside, and one
+    XLA TriangularSolve at n<=16 measures ~0.57 ms while the unrolled
+    sweep fuses into the surrounding computation; see
+    ``benchmarks/probe_tiny_solve.py``)."""
+    if n <= UNROLL_MAX_N:
+        carry = init
+        for k in range(n):
+            carry = body(k, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def _fwd_sub_unit(L, b):
-    """Solve L z = b with unit-lower L via column-sweep fori_loop."""
+    """Solve L z = b with unit-lower L via column sweep."""
     n = L.shape[-1]
     idx = jnp.arange(n)
 
@@ -112,11 +127,11 @@ def _fwd_sub_unit(L, b):
         upd = jnp.where(below, L[..., :, k] * zk[..., None], 0.0)
         return z - upd
 
-    return jax.lax.fori_loop(0, n, body, b)
+    return _loop(n, body, b)
 
 
 def _back_sub(U, b):
-    """Solve U x = b with upper-triangular U via column-sweep fori_loop."""
+    """Solve U x = b with upper-triangular U via column sweep."""
     n = U.shape[-1]
     idx = jnp.arange(n)
 
@@ -129,7 +144,7 @@ def _back_sub(U, b):
         upd = jnp.where(above, U[..., :, k] * xk[..., None], 0.0)
         return x - upd
 
-    return jax.lax.fori_loop(0, n, body, b)
+    return _loop(n, body, b)
 
 
 def _back_sub_unit_T(L, b):
@@ -144,7 +159,7 @@ def _back_sub_unit_T(L, b):
         upd = jnp.where(above, L[..., k, :] * xk[..., None], 0.0)
         return x - upd
 
-    return jax.lax.fori_loop(0, n, body, b)
+    return _loop(n, body, b)
 
 
 def _fwd_sub_T(U, b):
@@ -160,16 +175,25 @@ def _fwd_sub_T(U, b):
         upd = jnp.where(below, U[..., k, :] * zk[..., None], 0.0)
         return z - upd
 
-    return jax.lax.fori_loop(0, n, body, b)
+    return _loop(n, body, b)
 
 
 def plu_solve(fact: PLUFactorization, rhs):
-    """Solve A x = rhs from the packed factorization (blocked XLA
-    TriangularSolve; f64-supported on TPU)."""
+    """Solve A x = rhs from the packed factorization.  Tiny systems
+    (n <= UNROLL_MAX_N) use the statically unrolled substitution sweeps —
+    one XLA TriangularSolve costs ~0.57 ms at (64, 7, 7) through the TPU
+    tunnel and the hot integration/KKT paths issue ~30 of them per work
+    unit; the unrolled sweep fuses to ~nothing.  Larger systems use the
+    blocked XLA TriangularSolve (f64-supported on TPU, and faster than a
+    column sweep from n in the hundreds)."""
+    lower, upper = _unpack(fact)
+    n = lower.shape[-1]
+    b = jnp.take_along_axis(rhs, fact.perm, axis=-1)
+    if n <= UNROLL_MAX_N:
+        return _back_sub(upper, _fwd_sub_unit(lower, b))
+
     import jax.scipy.linalg as jsl
 
-    lower, upper = _unpack(fact)
-    b = jnp.take_along_axis(rhs, fact.perm, axis=-1)
     z = jsl.solve_triangular(lower, b[..., None], lower=True, unit_diagonal=True)
     x = jsl.solve_triangular(upper, z, lower=False)
     return x[..., 0]
@@ -177,11 +201,17 @@ def plu_solve(fact: PLUFactorization, rhs):
 
 def plu_solve_trans(fact: PLUFactorization, rhs):
     """Solve A^T x = rhs: U^T L^T P x = rhs."""
-    import jax.scipy.linalg as jsl
-
     lower, upper = _unpack(fact)
-    z = jsl.solve_triangular(upper, rhs[..., None], trans=1, lower=False)
-    y = jsl.solve_triangular(lower, z, trans=1, lower=True, unit_diagonal=True)[..., 0]
+    n = lower.shape[-1]
+    if n <= UNROLL_MAX_N:
+        y = _back_sub_unit_T(lower, _fwd_sub_T(upper, rhs))
+    else:
+        import jax.scipy.linalg as jsl
+
+        z = jsl.solve_triangular(upper, rhs[..., None], trans=1, lower=False)
+        y = jsl.solve_triangular(
+            lower, z, trans=1, lower=True, unit_diagonal=True
+        )[..., 0]
     # x = P^T y: scatter back through the permutation
     n = y.shape[-1]
     perm = fact.perm

@@ -120,8 +120,11 @@ def test_hs71_segment_anchor_and_counters(integration_params):
 
 
 def test_implicit_euler_method(integration_params):
-    """The step-doubled implicit-Euler fallback stays selectable and hits
-    the same segment anchor, at a much higher step count than TR-BDF2."""
+    """The step-doubled implicit-Euler fallback stays selectable and
+    converges to the optimum, at a much higher step count than TR-BDF2.
+    11 segments since the round-5 BISECT_RTOL=1e-9 event location (was 10
+    at 1e-12); Euler has no reference counterpart to pin a sequence
+    against — the parity anchors are the TR-BDF2/SDIRK4 tests."""
     from pygradflow_tpu import IntegrationMethod
 
     inst = hs71_instance()
@@ -132,7 +135,7 @@ def test_implicit_euler_method(integration_params):
     )
     result = IntegrationSolver(inst.problem, params).solve(inst.x_0, inst.y_0)
     assert result.success
-    assert result.iterations == 10
+    assert result.iterations == 11
     np.testing.assert_allclose(result.x, inst.x_opt, atol=1e-6)
 
     trbdf2 = IntegrationSolver(inst.problem, integration_params).solve(

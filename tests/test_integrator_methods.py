@@ -98,11 +98,11 @@ def test_sdirk4_empirical_order_four():
     "instance,segments,max_steps",
     [
         # steps within 1.5x the reference's scipy BDF-5 counts (180 / 239);
-        # round 5: the cross-step predictor puts HS71 at 10 segments / 197
-        # steps — the segment count now MATCHES the reference's 10;
-        # event sequences identical in kind and order, one fewer trailing
-        # penalty rung than TR-BDF2 (converges before it fires, PARITY.md);
-        # measured 200 / 240 with the dual stage predictor
+        # round 5 (cross-step predictor + unrolled tiny-system PLU +
+        # conv-crossing short-circuit + BISECT_RTOL=1e-9): HS71 at
+        # 10 segments / 195 steps — segment count matches the
+        # reference's 10 (the pre-round-5 dual stage predictor measured
+        # 200 / 240 steps at 9 / 12 segments)
         (hs71_instance, 10, 270),
         (tame_instance, 11, 359),
     ],
